@@ -1,0 +1,493 @@
+"""SpatialEngine — the engine's query surface as Spark DataFrame jobs.
+
+Execution shape for every spatial query (SURVEY.md §3 "Spark lifecycle"):
+
+1. derive points (pure Column arithmetic, parquet scan prunes columns);
+2. assign ``cell_id`` — JVM Column expression where the scheme allows
+   (fixed grid, Morton, STR ranks) else a vectorized pandas UDF routing
+   kernel over the broadcast partitioner spec;
+3. driver-side query->candidate-cell pruning (the reference's technique
+   ``LookUp`` routing, SURVEY.md §2.3) — tiny NumPy work over the spec;
+4. one shuffle: ``groupBy(cell_id).applyInPandas(probe)`` where the probe
+   sorts the cell by (y, x) and refines with either the learned spline
+   kernel (SplineCell analog) or ``np.searchsorted`` (BinarySearchYCell
+   analog, include/partition_cells/BinarySearchY.hpp) — batched NumPy,
+   never per-row Python;
+5. final ``groupBy(query_id)`` aggregation + left join against the query
+   list so empty results surface as 0 (matches the oracle SQL).
+
+Cell-granular shortcuts mirrored from the reference (SURVEY.md §4):
+fully-outside / fully-contained cells short-circuit before any per-point
+work (Spline.hpp:62-75), tiny cells linear-scan (Spline.hpp:10).
+
+At 100 TB the same plan holds: step 2 is the only full-data shuffle and is
+also the natural Iceberg/parquet partition key for materialization; probes
+touch only pruned cells (partition pruning); the model/stats tables are
+O(#cells) and broadcastable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import spline as spl
+from .operators.partitioning import (
+    AdaptiveGridPartitioner,
+    FixedGridPartitioner,
+    KdTreePartitioner,
+    MortonPartitioner,
+    Partitioner,
+    QuadtreePartitioner,
+    STRPartitioner,
+)
+from .sources import points as points_src
+
+DEFAULT_PARTITION_SIZE = 1000  # src/main.cpp:60-65
+
+
+def _widen(lo: float, hi: float, ulps: int = 8) -> tuple[float, float]:
+    for _ in range(ulps):
+        lo = float(np.nextafter(lo, -np.inf))
+        hi = float(np.nextafter(hi, np.inf))
+    return lo, hi
+
+
+@dataclass
+class CellStats:
+    ids: np.ndarray
+    minx: np.ndarray
+    miny: np.ndarray
+    maxx: np.ndarray
+    maxy: np.ndarray
+    count: np.ndarray
+
+
+class SpatialEngine:
+    """Builds one partitioning scheme over the derived point table and
+    answers the full reference query surface (+ kNN, new per north rule)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        scheme: str = "fixed_grid",
+        partition_size: int = DEFAULT_PARTITION_SIZE,
+        refine: str = "learned",
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.scheme = scheme
+        self.partition_size = partition_size
+        self.refine = refine
+        # driver-side exact splitter build (test scale); at 100 TB the tree
+        # schemes switch to aggregated-stats/sampled builds (SURVEY.md §7.3(d))
+        pid, x, y = points_src.points_np(sf_dir)
+        self._n = x.shape[0]
+        self.partitioner = self._build_partitioner(x, y)
+        self._assigned: DataFrame | None = None
+        self._stats: CellStats | None = None
+
+    # ------------------------------------------------------------ build ---
+
+    def _build_partitioner(self, x: np.ndarray, y: np.ndarray) -> Partitioner:
+        ps = self.partition_size
+        if self.scheme == "fixed_grid":
+            return FixedGridPartitioner.build(x.min(), x.max(), x.shape[0], ps)
+        if self.scheme == "adaptive_grid":
+            return AdaptiveGridPartitioner.build_from_sorted_x(np.sort(x), ps)
+        if self.scheme == "kd_tree":
+            return KdTreePartitioner.build_from_points(x, y, ps)
+        if self.scheme == "quadtree":
+            return QuadtreePartitioner.build_from_points(x, y, ps)
+        if self.scheme == "morton":
+            level = max(1, min(12, int(math.ceil(math.log2(max(2.0, x.shape[0] / ps)) / 2))))
+            return MortonPartitioner(level=level)
+        if self.scheme == "str":
+            slice_cap, leaf = STRPartitioner.plan(x.shape[0], ps)
+            part = STRPartitioner(n=x.shape[0], leaf=leaf, slice_cap=slice_cap, mbrs=[])
+            return part
+        raise ValueError(f"unknown scheme {self.scheme}")
+
+    def points(self) -> DataFrame:
+        return points_src.points_df(self.spark, self.sf_dir)
+
+    def assigned_points(self) -> DataFrame:
+        """points + cell_id.  JVM expression for closed-form schemes; Arrow
+        pandas UDF routing otherwise; STR is two window ranks (pure JVM)."""
+        if self._assigned is not None:
+            return self._assigned
+        df = self.points()
+        p = self.partitioner
+        if isinstance(p, (FixedGridPartitioner, MortonPartitioner)):
+            expr = p.assign_sql("x", "y") if isinstance(p, MortonPartitioner) else p.assign_sql("x")
+            out = df.withColumn("cell_id", F.expr(expr))
+        elif isinstance(p, STRPartitioner):
+            w_x = Window.orderBy("x", "y", "pid")
+            df2 = df.withColumn("rank_x", F.row_number().over(w_x))
+            df2 = df2.withColumn("slice_id", ((F.col("rank_x") - 1) / p.slice_cap).cast("bigint"))
+            w_y = Window.partitionBy("slice_id").orderBy("y", "x", "pid")
+            cells_per_slice = math.ceil(p.slice_cap / p.leaf)
+            df2 = df2.withColumn("rank_y", F.row_number().over(w_y))
+            out = df2.withColumn(
+                "cell_id",
+                F.col("slice_id") * cells_per_slice + ((F.col("rank_y") - 1) / p.leaf).cast("bigint"),
+            ).drop("rank_x", "rank_y", "slice_id")
+        else:
+            spec = p.to_spec()
+
+            def route(it):
+                part = Partitioner.from_spec(spec)
+                for pdf in it:
+                    pdf = pdf.copy()
+                    pdf["cell_id"] = part.assign_np(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+                    yield pdf
+
+            out = df.mapInPandas(route, schema="pid bigint, x double, y double, cell_id bigint")
+        self._assigned = out
+        return out
+
+    def cell_stats(self) -> CellStats:
+        """Per-cell MBR + count (one aggregation job; the model/stats table
+        of SURVEY.md §2.5 — O(#cells), broadcastable)."""
+        if self._stats is not None:
+            return self._stats
+        rows = (
+            self.assigned_points()
+            .groupBy("cell_id")
+            .agg(
+                F.min("x").alias("minx"), F.min("y").alias("miny"),
+                F.max("x").alias("maxx"), F.max("y").alias("maxy"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        rows.sort(key=lambda r: r["cell_id"])
+        self._stats = CellStats(
+            ids=np.asarray([r["cell_id"] for r in rows], dtype=np.int64),
+            minx=np.asarray([r["minx"] for r in rows]),
+            miny=np.asarray([r["miny"] for r in rows]),
+            maxx=np.asarray([r["maxx"] for r in rows]),
+            maxy=np.asarray([r["maxy"] for r in rows]),
+            count=np.asarray([r["cnt"] for r in rows], dtype=np.int64),
+        )
+        if isinstance(self.partitioner, STRPartitioner) and not self.partitioner.mbrs:
+            s = self._stats
+            self.partitioner.mbrs = [
+                [int(s.ids[i]), float(s.minx[i]), float(s.miny[i]), float(s.maxx[i]), float(s.maxy[i])]
+                for i in range(s.ids.shape[0])
+            ]
+        return self._stats
+
+    # -------------------------------------------------- candidate pruning ---
+
+    def _cell_query_map(self, rects: list[tuple]) -> dict[int, list[int]]:
+        """cell_id -> query indices touching it (driver-side LookUp routing,
+        SURVEY.md §2.3).  STR needs cell MBRs -> one stats job."""
+        if isinstance(self.partitioner, STRPartitioner):
+            self.cell_stats()
+        m: dict[int, list[int]] = {}
+        for qi, (qid, fx, fy, tx, ty) in enumerate(rects):
+            for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
+                m.setdefault(int(c), []).append(qi)
+        return m
+
+    # ---------------------------------------------------------- range Qs ---
+
+    def _range_probe(self, rects: list[tuple], materialize: bool) -> DataFrame:
+        refine = self.refine
+        cellmap = self._cell_query_map(rects)
+        q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
+        qids = np.asarray([r[0] for r in rects], dtype=np.int64)
+        if materialize:
+            schema = "query_id bigint, pid bigint, x double, y double"
+        else:
+            schema = "query_id bigint, cnt bigint"
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(key[0])
+            qidx = cellmap.get(cell)
+            empty = pd.DataFrame({c.split()[0]: pd.Series(dtype="int64" if "bigint" in c else "float64")
+                                  for c in schema.split(", ")})
+            if not qidx:
+                return empty
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            pids = pdf["pid"].to_numpy()
+            order = np.lexsort((xs, ys))  # sort by (y, x) — SortPointsY analog
+            xs, ys, pids = xs[order], ys[order], pids[order]
+            n = xs.shape[0]
+            qi = np.asarray(qidx, dtype=np.int64)
+            fx, fy, tx, ty = q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3]
+            cminx, cmaxx = xs.min(), xs.max()
+            cminy, cmaxy = ys.min(), ys.max()
+            # O4 fully-outside-y shortcut (Spline.hpp:62-64) folded into the
+            # bound computation; O3 fully-contained shortcut (Spline.hpp:67-75):
+            contained = (fx <= cminx) & (tx >= cmaxx) & (fy <= cminy) & (ty >= cmaxy)
+            use_learned = refine == "learned" and n > spl.LINEAR_SCAN_THRESHOLD
+            if use_learned:
+                keys, pos = spl.build_cdf(ys)
+                kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
+                lo = spl.learned_searchsorted(ys, kk, kp, fy, "left")
+                hi = spl.learned_searchsorted(ys, kk, kp, ty, "right")
+            else:
+                lo = np.searchsorted(ys, fy, side="left")
+                hi = np.searchsorted(ys, ty, side="right")
+            if materialize:
+                frames = []
+                for j in range(qi.shape[0]):
+                    if contained[j]:
+                        sel = np.arange(n)
+                    else:
+                        s = slice(lo[j], hi[j])
+                        sel = np.flatnonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j])) + lo[j]
+                    if sel.size:
+                        frames.append(pd.DataFrame({
+                            "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
+                            "pid": pids[sel], "x": xs[sel], "y": ys[sel],
+                        }))
+                return pd.concat(frames) if frames else empty
+            cnt = np.empty(qi.shape[0], dtype=np.int64)
+            for j in range(qi.shape[0]):
+                if contained[j]:
+                    cnt[j] = n
+                else:
+                    s = slice(lo[j], hi[j])
+                    cnt[j] = np.count_nonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j]))
+            return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
+
+        parts = self.assigned_points().groupBy("cell_id").applyInPandas(probe, schema=schema)
+        return parts
+
+    def range_count(self, rects: list[tuple]) -> DataFrame:
+        """Q2 range count (src/main.cpp:134-191): (query_id, cnt) with 0 for
+        empty queries."""
+        parts = self._range_probe(rects, materialize=False)
+        agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
+        qdf = self.spark.createDataFrame([(r[0],) for r in rects], "query_id bigint")
+        return (
+            qdf.join(agg, "query_id", "left")
+            .select("query_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+        )
+
+    def range_materialize(self, rects: list[tuple]) -> DataFrame:
+        """Q1 range materialize (src/main.cpp:101-132): all (query_id, pid,
+        x, y) hits; order unspecified (validation sorts, src/main.cpp:200)."""
+        return self._range_probe(rects, materialize=True)
+
+    # ------------------------------------------------------- point lookup ---
+
+    def point_lookup(self, pts: list[tuple]) -> DataFrame:
+        """Q3 point lookup (src/main.cpp:416-450), canonical fetch-one =
+        min(pid) among exact matches; misses -> pid = -1."""
+        p = self.partitioner
+        if isinstance(p, STRPartitioner):
+            self.cell_stats()
+        cells = [int(c) for (qid, qx, qy) in pts
+                 for c in p.cells_for_rect(qx, qy, qx, qy)]
+        qrows = []
+        i = 0
+        for (qid, qx, qy) in pts:
+            cs = p.cells_for_rect(qx, qy, qx, qy)
+            for c in cs:
+                qrows.append((qid, float(qx), float(qy), int(c)))
+            i += 1
+        qdf = self.spark.createDataFrame(qrows, "query_id bigint, qx double, qy double, cell_id bigint")
+        pts_df = self.assigned_points()
+        hit = (
+            pts_df.join(F.broadcast(qdf), "cell_id")
+            .where((F.col("x") == F.col("qx")) & (F.col("y") == F.col("qy")))
+            .groupBy("query_id").agg(F.min("pid").alias("pid"))
+        )
+        alldf = self.spark.createDataFrame([(q[0],) for q in pts], "query_id bigint")
+        return alldf.join(hit, "query_id", "left").select(
+            "query_id", F.coalesce(F.col("pid"), F.lit(-1)).cast("bigint").alias("pid"))
+
+    # ----------------------------------------------------------- distance ---
+
+    def distance_count(self, circles: list[tuple]) -> DataFrame:
+        """Q4 radius query (src/main.cpp:360-414): candidate filter via the
+        Matuschek circle bbox (conservative, SURVEY.md §7.3(c)) through the
+        same cell pruning, refine = haversine(radians) <= r inclusive
+        (include/queries/distance.h:36-45).  Returns (query_id, cnt)."""
+        from .functions import geo
+        qids = [c[0] for c in circles]
+        latr = np.asarray([(c[1] / 180.0) * math.pi for c in circles])
+        lonr = np.asarray([(c[2] / 180.0) * math.pi for c in circles])
+        rad = np.asarray([c[3] for c in circles])
+        mnla, mxla, mnlo, mxlo = geo.circle_bbox_radians_np(latr, lonr, rad)
+        r2d = 180.0 / math.pi
+        rects = []
+        for i, qid in enumerate(qids):
+            fx, tx = _widen(mnla[i] * r2d, mxla[i] * r2d)
+            fy, ty = _widen(mnlo[i] * r2d, mxlo[i] * r2d)
+            rects.append((qid, fx, fy, tx, ty))
+        cellmap = self._cell_query_map(rects)
+        qlat = np.asarray([c[1] for c in circles])
+        qlon = np.asarray([c[2] for c in circles])
+        qrad = rad
+        qid_arr = np.asarray(qids, dtype=np.int64)
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(key[0])
+            qidx = cellmap.get(cell)
+            if not qidx:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")})
+            # deg2rad exactly as the reference: (deg / 180) * pi
+            xr = (pdf["x"].to_numpy() / 180.0) * math.pi
+            yr = (pdf["y"].to_numpy() / 180.0) * math.pi
+            qi = np.asarray(qidx, dtype=np.int64)
+            cnt = np.empty(qi.shape[0], dtype=np.int64)
+            for j, t in enumerate(qi):
+                d = _hav(qlat[t] / 180.0 * math.pi, qlon[t] / 180.0 * math.pi, xr, yr)
+                cnt[j] = np.count_nonzero(d <= qrad[t])
+            return pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
+
+        parts = self.assigned_points().groupBy("cell_id").applyInPandas(
+            probe, schema="query_id bigint, cnt bigint")
+        agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
+        qdf = self.spark.createDataFrame([(q,) for q in qids], "query_id bigint")
+        return qdf.join(agg, "query_id", "left").select(
+            "query_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+
+    # ----------------------------------------------------------- PIP join ---
+
+    def pip(self, polygons: dict[int, tuple[list[float], list[float]]], pairs: bool = False) -> DataFrame:
+        """Q5 point-in-polygon join (src/main.cpp:452-505): per-polygon
+        contained counts, or the (polygon_id, pid) pairs when ``pairs``.
+        Polygons broadcast; candidate cells from each polygon's bbox; refine
+        = exact reference ray cast (include/queries/join.h:30-37) vectorized
+        over points x edges."""
+        from oracle.oracle import ray_cast_inside
+        polymap: dict[int, list[int]] = {}
+        if isinstance(self.partitioner, STRPartitioner):
+            self.cell_stats()
+        for gid, (vx, vy) in polygons.items():
+            bb = (min(vx), min(vy), max(vx), max(vy))
+            for c in self.partitioner.cells_for_rect(*bb):
+                polymap.setdefault(int(c), []).append(gid)
+        polys = {gid: (np.asarray(vx), np.asarray(vy)) for gid, (vx, vy) in polygons.items()}
+        schema = "polygon_id bigint, pid bigint" if pairs else "polygon_id bigint, cnt bigint"
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(key[0])
+            gids = polymap.get(cell)
+            if not gids:
+                if pairs:
+                    return pd.DataFrame({"polygon_id": pd.Series(dtype="int64"), "pid": pd.Series(dtype="int64")})
+                return pd.DataFrame({"polygon_id": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")})
+            px = pdf["x"].to_numpy()
+            py = pdf["y"].to_numpy()
+            pids = pdf["pid"].to_numpy()
+            out_g, out_v = [], []
+            for gid in gids:
+                vx, vy = polys[gid]
+                inside = ray_cast_inside(px, py, vx, vy)
+                if pairs:
+                    hit = pids[inside]
+                    out_g.extend([gid] * hit.shape[0])
+                    out_v.extend(hit.tolist())
+                else:
+                    out_g.append(gid)
+                    out_v.append(int(inside.sum()))
+            col = "pid" if pairs else "cnt"
+            return pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
+                                 col: np.asarray(out_v, dtype=np.int64)})
+
+        parts = self.assigned_points().groupBy("cell_id").applyInPandas(probe, schema=schema)
+        if pairs:
+            return parts
+        agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))
+        gdf = self.spark.createDataFrame([(g,) for g in polygons], "polygon_id bigint")
+        return gdf.join(agg, "polygon_id", "left").select(
+            "polygon_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+
+    # ---------------------------------------------------------------- kNN ---
+
+    def knn(self, queries: list[tuple]) -> DataFrame:
+        """kNN (new surface, SURVEY.md §2.4): squared-Euclidean degree-space
+        top-k, ties (d2, x, y, pid).  Driver prunes cells with the stats
+        table: take cells ascending by bbox-min-d2 until their counts cover
+        k, bound R = max bbox-max-d2 of that prefix, probe all cells with
+        min-d2 <= R — exact, and at scale only O(k/cell_size) cells probe.
+        Local per-cell top-k inside the probe; global top-k via window."""
+        s = self.cell_stats()
+        cellmap: dict[int, list[int]] = {}
+        for qi, (qid, qx, qy, k) in enumerate(queries):
+            dx = np.maximum(np.maximum(s.minx - qx, qx - s.maxx), 0.0)
+            dy = np.maximum(np.maximum(s.miny - qy, qy - s.maxy), 0.0)
+            dmin = dx * dx + dy * dy
+            ex = np.maximum(np.abs(qx - s.minx), np.abs(qx - s.maxx))
+            ey = np.maximum(np.abs(qy - s.miny), np.abs(qy - s.maxy))
+            dmax = ex * ex + ey * ey
+            order = np.argsort(dmin, kind="stable")
+            cum = np.cumsum(s.count[order])
+            need = int(np.searchsorted(cum, k)) + 1
+            need = min(need, order.shape[0])
+            R = float(dmax[order[:need]].max())
+            cand = s.ids[dmin <= R]
+            for c in cand:
+                cellmap.setdefault(int(c), []).append(qi)
+        qarr = np.asarray([[q[1], q[2], q[3]] for q in queries], dtype=np.float64)
+        qid_arr = np.asarray([q[0] for q in queries], dtype=np.int64)
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(key[0])
+            qidx = cellmap.get(cell)
+            if not qidx:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "pid": pd.Series(dtype="int64"),
+                                     "d2": pd.Series(dtype="float64"), "px": pd.Series(dtype="float64"),
+                                     "py": pd.Series(dtype="float64")})
+            xs = pdf["x"].to_numpy(); ys = pdf["y"].to_numpy(); pids = pdf["pid"].to_numpy()
+            frames = []
+            for t in qidx:
+                qx, qy, k = qarr[t]
+                d2 = (xs - qx) ** 2 + (ys - qy) ** 2
+                k_i = min(int(k), d2.shape[0])
+                sel = np.lexsort((pids, ys, xs, d2))[:k_i]
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(k_i, qid_arr[t], dtype=np.int64),
+                    "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]}))
+            return pd.concat(frames) if frames else probe(key, pdf.iloc[:0])
+
+        parts = self.assigned_points().groupBy("cell_id").applyInPandas(
+            probe, schema="query_id bigint, pid bigint, d2 double, px double, py double")
+        w = Window.partitionBy("query_id").orderBy("d2", "px", "py", "pid")
+        ranked = parts.withColumn("rnk", F.row_number().over(w))
+        kdf = self.spark.createDataFrame([(q[0], q[3]) for q in queries], "query_id bigint, k int")
+        return (
+            ranked.join(F.broadcast(kdf), "query_id")
+            .where(F.col("rnk") <= F.col("k"))
+            .select("query_id", F.col("rnk").cast("bigint").alias("rnk"), "pid")
+        )
+
+    # ----------------------------------------------------- tile assignment ---
+
+    def tile_assignment(self) -> DataFrame:
+        """Raster<->vector tile assignment output: (pid, cell_id) — the
+        point->tile mapping the north rule requires as a parity artifact
+        (SURVEY.md §2.4)."""
+        return self.assigned_points().select("pid", "cell_id")
+
+    def polygon_tiles(self, polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
+        """polygon -> candidate tile set (the Q5 filter mapping as data)."""
+        if isinstance(self.partitioner, STRPartitioner):
+            self.cell_stats()
+        rows = []
+        for gid, (vx, vy) in polygons.items():
+            for c in self.partitioner.cells_for_rect(min(vx), min(vy), max(vx), max(vy)):
+                rows.append((gid, int(c)))
+        return self.spark.createDataFrame(rows, "polygon_id bigint, cell_id bigint")
+
+
+def _hav(lat1r, lon1r, lat2r, lon2r):
+    u = np.sin((lat2r - lat1r) / 2.0)
+    v = np.sin((lon2r - lon1r) / 2.0)
+    s = np.sqrt(u * u + np.cos(lat1r) * np.cos(lat2r) * v * v)
+    return 2.0 * 6378137.0 * np.arcsin(np.clip(s, 0.0, 1.0))

@@ -1,0 +1,156 @@
+"""Learned in-cell search: CDF + taut-string spline fit + exact probe.
+
+This is the engine's analog of the reference's ``SplineCell``
+(include/partition_cells/Spline.hpp) and its spline utilities
+(include/utils/SplineUtil.h), re-expressed as batched NumPy kernels meant
+to run inside ``applyInPandas`` over one grid cell at a time:
+
+* CDF: one knot per *distinct* y at that run's LAST index — mirrors
+  ``CdfOnTheFlyInterfaceY`` (include/utils/SplineUtil.h:170-213);
+* fit: greedy taut-string (error-corridor) piecewise-linear approximation
+  with max position error <= EPSILON — mirrors ``tautString``
+  (include/utils/SplineUtil.h:219-261) invoked with SPLINE_SIZE=32
+  (include/partition_cells/Spline.hpp:39-47);
+* tiny cells fall back to linear scan below
+  FALLBACK_TO_LINEAR_SCAN_THRESHHOLD=100 (Spline.hpp:10,34-37);
+* probe: interpolate the spline to an estimated position
+  (Spline.hpp:385-453) then repair to the exact bound.  The reference
+  repairs with unbounded linear over/under-shot scans
+  (Spline.hpp:476-520); we repair with an exponentially expanding window +
+  ``np.searchsorted`` — identical results, bounded worst case, and
+  vectorized across a whole query batch.
+
+A radix hint table (Spline.hpp:349-383) only accelerates spline-segment
+location; ``np.searchsorted`` over the knot keys is result-identical
+(Spline.hpp:424-430 falls through to lower_bound anyway), so we use that
+(SURVEY.md §2.6 L4).
+
+Results are exact: the spline is an accelerator, never a filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SPLINE_EPSILON = 32  # include/partition_cells/Spline.hpp:39-42 (SPLINE_SIZE)
+LINEAR_SCAN_THRESHOLD = 100  # include/partition_cells/Spline.hpp:10
+
+
+def build_cdf(y_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotone CDF knots over a y-sorted array.
+
+    One (key, position) pair per distinct y, position = LAST index of the
+    run (include/utils/SplineUtil.h:170-213), plus the final point.
+    """
+    n = y_sorted.shape[0]
+    if n == 0:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    last_of_run = np.flatnonzero(np.diff(y_sorted) != 0)
+    idx = np.concatenate([last_of_run, [n - 1]])
+    return y_sorted[idx], idx.astype(np.int64)
+
+
+def fit_spline(keys: np.ndarray, positions: np.ndarray, eps: float = SPLINE_EPSILON) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy taut-string fit: max |spline(key) - position| <= eps at every
+    CDF key (include/utils/SplineUtil.h:219-261 semantics).
+
+    Returns (knot_keys, knot_positions) with knots a subset of CDF points.
+    Python loop over *distinct* keys only; cells are bounded by the
+    partition-size knob so this stays cheap inside applyInPandas.
+    """
+    m = keys.shape[0]
+    if m <= 2:
+        return keys.astype(np.float64), positions.astype(np.float64)
+    keys = keys.astype(np.float64)
+    positions = positions.astype(np.float64)
+    kk: list[float] = [float(keys[0])]
+    kp: list[float] = [float(positions[0])]
+    base_k, base_p = float(keys[0]), float(positions[0])
+    dk1 = float(keys[1]) - base_k
+    hi = (float(positions[1]) + eps - base_p) / dk1
+    lo = (float(positions[1]) - eps - base_p) / dk1
+    prev_k, prev_p = float(keys[1]), float(positions[1])
+    for i in range(2, m):
+        k = float(keys[i])
+        p = float(positions[i])
+        dk = k - base_k
+        s = (p - base_p) / dk
+        if s > hi or s < lo:
+            # current point falls outside the corridor: the previous point
+            # becomes a knot and starts a fresh corridor
+            kk.append(prev_k)
+            kp.append(prev_p)
+            base_k, base_p = prev_k, prev_p
+            dk = k - base_k
+            hi = (p + eps - base_p) / dk
+            lo = (p - eps - base_p) / dk
+        else:
+            hi = min(hi, (p + eps - base_p) / dk)
+            lo = max(lo, (p - eps - base_p) / dk)
+        prev_k, prev_p = k, p
+    kk.append(float(keys[m - 1]))
+    kp.append(float(positions[m - 1]))
+    return np.asarray(kk, dtype=np.float64), np.asarray(kp, dtype=np.float64)
+
+
+def spline_estimate(knot_keys: np.ndarray, knot_pos: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Interpolate estimated positions for query keys (vectorized analog of
+    GetSplineSegment + InterpolateSegment, Spline.hpp:392-453)."""
+    est = np.interp(q, knot_keys, knot_pos)
+    return est
+
+
+def learned_searchsorted(
+    y_sorted: np.ndarray,
+    knot_keys: np.ndarray,
+    knot_pos: np.ndarray,
+    q: np.ndarray,
+    side: str,
+    eps: float = SPLINE_EPSILON,
+) -> np.ndarray:
+    """Exact ``np.searchsorted(y_sorted, q, side)`` accelerated by the
+    spline: estimate, then repair within an expanding window.
+
+    Replaces the reference's over/under-shot linear repair scans
+    (Spline.hpp:476-520) with window-bounded binary repair — identical
+    output indices by construction.
+    """
+    n = y_sorted.shape[0]
+    q = np.asarray(q, dtype=np.float64)
+    if n == 0:
+        return np.zeros(q.shape, dtype=np.int64)
+    est = np.rint(spline_estimate(knot_keys, knot_pos, q)).astype(np.int64)
+    est = np.clip(est, 0, n - 1)
+    out = np.empty(q.shape, dtype=np.int64)
+    # first window: spline error bound + slack for intra-run offsets
+    w = int(eps) + 2
+    pending = np.arange(q.shape[0])
+    while pending.size:
+        lo = np.maximum(est[pending] - w, 0)
+        hi = np.minimum(est[pending] + w, n)
+        # exact bound within the window
+        local = np.empty(pending.shape[0], dtype=np.int64)
+        ok = np.empty(pending.shape[0], dtype=bool)
+        for j in range(pending.shape[0]):  # bounded by #queries, not #rows
+            a, b = lo[j], hi[j]
+            pos = a + np.searchsorted(y_sorted[a:b], q[pending[j]], side=side)
+            local[j] = pos
+            # the bound is certain iff it's interior to the window, or the
+            # window already touches the array edge on that side
+            ok[j] = (pos > a or a == 0) and (pos < b or b == n)
+        out[pending] = local
+        pending = pending[~ok]
+        w *= 4
+    return out
+
+
+def fit_cell_model(y_sorted: np.ndarray, eps: float = SPLINE_EPSILON, linear_threshold: int = LINEAR_SCAN_THRESHOLD) -> dict:
+    """Fit the per-cell model row (engine analog of SplineCell::Build,
+    Spline.hpp:18-53). Returns plain-python dict ready for a model-table
+    DataFrame row."""
+    n = int(y_sorted.shape[0])
+    if n <= linear_threshold:
+        return {"n": n, "linear_scan": True, "knot_keys": [], "knot_pos": []}
+    keys, pos = build_cdf(y_sorted)
+    kk, kp = fit_spline(keys, pos.astype(np.float64), eps)
+    return {"n": n, "linear_scan": False, "knot_keys": kk.tolist(), "knot_pos": kp.tolist()}

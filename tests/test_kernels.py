@@ -1,0 +1,97 @@
+"""Tier-1 unit tests: NumPy kernels vs brute-force oracles (SURVEY.md §5).
+
+Duplicate-heavy distributions mirror the reference's own randomized test
+(include/ds/radix_spline/example.cpp:79-121, seed 8128, three duplicate
+levels) — duplicates are the classic learned-index edge case.
+"""
+
+import numpy as np
+import pytest
+
+from learnedspatial_spark.functions import geo
+from learnedspatial_spark.operators import spline as spl
+from oracle import oracle as orc
+
+SEED = 8128
+
+
+@pytest.mark.parametrize("dup_quant", [None, 100.0, 3.0])
+def test_learned_searchsorted_matches_numpy(dup_quant):
+    rng = np.random.default_rng(SEED)
+    y = rng.uniform(-180, 180, size=20000)
+    if dup_quant is not None:
+        y = np.round(y * dup_quant) / dup_quant  # duplicate-heavy runs
+    y.sort()
+    keys, pos = spl.build_cdf(y)
+    kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
+    q = np.concatenate([
+        rng.uniform(-200, 200, size=500),
+        rng.choice(y, size=500),  # exact existing keys
+        [y[0], y[-1], -1e9, 1e9],
+    ])
+    for side in ("left", "right"):
+        got = spl.learned_searchsorted(y, kk, kp, q, side)
+        want = np.searchsorted(y, q, side=side)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cdf_last_index_per_distinct_key():
+    y = np.array([1.0, 1.0, 1.0, 2.0, 5.0, 5.0])
+    keys, pos = spl.build_cdf(y)
+    np.testing.assert_array_equal(keys, [1.0, 2.0, 5.0])
+    np.testing.assert_array_equal(pos, [2, 3, 5])
+
+
+def test_spline_error_bound():
+    rng = np.random.default_rng(SEED + 9)
+    y = np.sort(rng.normal(0, 50, size=50000))
+    keys, pos = spl.build_cdf(y)
+    kk, kp = spl.fit_spline(keys, pos.astype(np.float64), eps=32)
+    est = spl.spline_estimate(kk, kp, keys)
+    assert np.abs(est - pos).max() <= 32 + 1e-6
+    assert kk.shape[0] < keys.shape[0] / 3  # actually compresses
+
+
+def test_haversine_known_value():
+    # London -> Paris ~ 343.5 km on the sphere
+    d2r = lambda d: (d / 180.0) * np.pi
+    d = orc.haversine_m(d2r(51.5074), d2r(-0.1278), d2r(48.8566), d2r(2.3522))
+    assert 340_000 < d < 348_000
+    assert orc.haversine_m(0.5, 0.5, 0.5, 0.5) == 0.0
+
+
+def test_circle_bbox_contains_all_hits():
+    rng = np.random.default_rng(SEED + 2)
+    lat = rng.uniform(-88, 88, size=2000)
+    lon = rng.uniform(-180, 180, size=2000)
+    latr, lonr = (lat / 180.0) * np.pi, (lon / 180.0) * np.pi
+    for clat, clon, r in [(45.0, 10.0, 300000.0), (89.5, 0.0, 200000.0), (0.0, 179.9, 100000.0)]:
+        clatr, clonr = (clat / 180.0) * np.pi, (clon / 180.0) * np.pi
+        mnla, mxla, mnlo, mxlo = geo.circle_bbox_radians_np(clatr, clonr, r)
+        hits = orc.haversine_m(clatr, clonr, latr, lonr) <= r
+        inside_box = (latr >= mnla) & (latr <= mxla) & (lonr >= mnlo) & (lonr <= mxlo)
+        assert not np.any(hits & ~inside_box), "bbox dropped a true hit"
+
+
+def test_ray_cast_square_and_concave():
+    # square lat[0,10] lon[0,10]; x=lat, y=lon
+    vx = np.array([0.0, 10.0, 10.0, 0.0, 0.0])
+    vy = np.array([0.0, 0.0, 10.0, 10.0, 0.0])
+    px = np.array([5.0, 15.0, 5.0, -1.0, 0.0, 10.0])
+    py = np.array([5.0, 5.0, 15.0, 5.0, 5.0, 10.0])
+    got = orc.ray_cast_inside(px, py, vx, vy)
+    assert got[0] and not got[1] and not got[2] and not got[3]
+    # concave "L" polygon
+    vx2 = np.array([0.0, 10.0, 10.0, 4.0, 4.0, 0.0, 0.0])
+    vy2 = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0, 0.0])
+    assert orc.ray_cast_inside(np.array([2.0]), np.array([8.0]), vx2, vy2)[0]
+    assert not orc.ray_cast_inside(np.array([8.0]), np.array([8.0]), vx2, vy2)[0]
+
+
+def test_knn_oracle_ties():
+    x = np.array([0.0, 0.0, 1.0, 1.0])
+    y = np.array([1.0, -1.0, 0.0, 0.0])
+    pid = np.array([4, 3, 2, 1])
+    got = orc.knn_euclidean(x, y, pid, 0.0, 0.0, 3)
+    # all d2 == 1; ties by (x, y, pid): (0,-1,3), (0,1,4), (1,0,1)
+    assert got == [3, 4, 1]

@@ -1,0 +1,116 @@
+"""Tier-2 end-to-end parity: engine DataFrame results vs (a) the Spark
+full-scan filter oracle and (b) the single-node NumPy oracle, for every
+(partitioning scheme x refinement x query type) — the engine analog of the
+reference's VALIDATE modes (src/main.cpp:193-255): sorted-rows exact
+comparison."""
+
+import numpy as np
+import pytest
+
+from learnedspatial_spark.engine import SpatialEngine
+from learnedspatial_spark.sources import points as points_src
+from learnedspatial_spark.sources import workloads as wl
+from oracle import oracle as orc
+
+SCHEMES = ["fixed_grid", "adaptive_grid", "kd_tree", "quadtree", "str", "morton"]
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    pid, x, y = points_src.points_np(sf_dir)
+    return pid, x, y
+
+
+@pytest.fixture(scope="module")
+def rects():
+    return wl.rectangles(n_per_tier=10)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+@pytest.mark.parametrize("refine", ["learned", "binsearch"])
+def test_range_count_parity(spark, sf_dir, corpus, rects, scheme, refine):
+    pid, x, y = corpus
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine)
+    got = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+    for (qid, fx, fy, tx, ty) in rects:
+        want = orc.range_count(x, y, fx, fy, tx, ty)
+        assert got[qid] == want, (scheme, refine, qid)
+
+
+@pytest.mark.parametrize("scheme", ["fixed_grid", "quadtree"])
+def test_range_materialize_parity(spark, sf_dir, corpus, rects, scheme):
+    pid, x, y = corpus
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine="learned")
+    rows = eng.range_materialize(rects).collect()
+    got = sorted((r["query_id"], r["pid"], r["x"], r["y"]) for r in rows)
+    want = []
+    for (qid, fx, fy, tx, ty) in rects:
+        for i in orc.range_materialize(x, y, fx, fy, tx, ty):
+            want.append((qid, int(pid[i]), float(x[i]), float(y[i])))
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("scheme", ["fixed_grid", "adaptive_grid", "str"])
+def test_point_lookup_parity(spark, sf_dir, corpus, scheme):
+    pid, x, y = corpus
+    pts = wl.point_queries(x, y, n_hits=30, n_misses=10)
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+    got = {r["query_id"]: r["pid"] for r in eng.point_lookup(pts).collect()}
+    for (qid, qx, qy) in pts:
+        want = orc.point_lookup(x, y, pid, qx, qy)
+        assert got[qid] == (want if want is not None else -1), qid
+
+
+@pytest.mark.parametrize("scheme", ["fixed_grid", "kd_tree"])
+def test_distance_count_parity(spark, sf_dir, corpus, scheme):
+    pid, x, y = corpus
+    circles = wl.distance_queries(n=20)
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+    got = {r["query_id"]: r["cnt"] for r in eng.distance_count(circles).collect()}
+    xr, yr = (x / 180.0) * np.pi, (y / 180.0) * np.pi
+    for (qid, qx, qy, r) in circles:
+        want = orc.distance_count(xr, yr, (qx / 180.0) * np.pi, (qy / 180.0) * np.pi, r)
+        assert got[qid] == want, qid
+
+
+@pytest.mark.parametrize("scheme", ["fixed_grid", "quadtree", "str"])
+def test_pip_parity(spark, sf_dir, corpus, scheme):
+    pid, x, y = corpus
+    polys = wl.polygons(n=12)
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+    got = {r["polygon_id"]: r["cnt"] for r in eng.pip(polys).collect()}
+    want = orc.pip_counts(x, y, {g: (np.asarray(vx), np.asarray(vy)) for g, (vx, vy) in polys.items()})
+    assert got == want
+    # pairs parity
+    rows = eng.pip(polys, pairs=True).collect()
+    got_pairs = sorted((r["polygon_id"], r["pid"]) for r in rows)
+    want_pairs = orc.pip_pairs(x, y, pid, {g: (np.asarray(vx), np.asarray(vy)) for g, (vx, vy) in polys.items()})
+    assert got_pairs == want_pairs
+
+
+@pytest.mark.parametrize("scheme", ["fixed_grid", "adaptive_grid", "morton"])
+def test_knn_parity(spark, sf_dir, corpus, scheme):
+    pid, x, y = corpus
+    queries = wl.knn_queries(n=12)
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+    rows = eng.knn(queries).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rnk"])):
+        got.setdefault(r["query_id"], []).append(r["pid"])
+    for (qid, qx, qy, k) in queries:
+        want = orc.knn_euclidean(x, y, pid, qx, qy, k)
+        assert got.get(qid, []) == want, qid
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_tile_assignment_total_and_consistent(spark, sf_dir, corpus, scheme):
+    pid, x, y = corpus
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+    rows = eng.tile_assignment().collect()
+    assert len(rows) == x.shape[0]
+    got = {r["pid"]: r["cell_id"] for r in rows}
+    if scheme != "str":  # STR is rank-defined; checked via window SQL in entry tests
+        order = np.argsort(pid)
+        want = eng.partitioner.assign_np(x, y)
+        for i in order[:2000]:
+            assert got[int(pid[i])] == int(want[i])
