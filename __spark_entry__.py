@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: learned-index range-count workload over the
+derived point table at sf0.001.  ``queries()``/``oracle_sql()`` — the full
+operator surface from SURVEY.md §2 (+ training-data ops), each Spark job
+paired with an independent DuckDB oracle; see learnedspatial_spark.entrylib.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from learnedspatial_spark import entrylib  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: learned-spline range-count
+    over the fixed-grid partitioning (the reference's headline benchmark,
+    src/main.cpp:134-191)."""
+    from learnedspatial_spark.engine import SpatialEngine
+    from learnedspatial_spark.sources import workloads as wl
+
+    eng = SpatialEngine(spark, "/root/testdata/sf0.001", scheme="fixed_grid", refine="learned")
+    return eng.range_count(wl.rectangles(n_per_tier=10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entrylib.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return entrylib.oracle_sql()

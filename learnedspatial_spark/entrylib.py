@@ -1,0 +1,416 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry pairs an engine DataFrame job with an independent ANSI/DuckDB
+SQL statement over the same parquet views.  The driver executes both at
+sf=0.01 and compares row-count + schema + order-insensitive value hash —
+so every computed column is aliased identically on both sides, every
+float literal goes through sqlcompat.flit, and outputs avoid
+order-dependent float aggregations.
+
+Oracle SQL may use DuckDB dialect (it never runs on Spark); the *Spark*
+side never parses these strings.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import SpatialEngine
+from .functions import text as tx
+from .functions.geo import haversine_m_sql
+from .operators import dedup, multimodal, similarity
+from .sources import workloads as wl
+from .sources.points import LAT_SQL, LON_SQL, POINTS_CTE
+from .sqlcompat import flit
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+SCHEMES = ["fixed_grid", "adaptive_grid", "kd_tree", "quadtree", "str", "morton"]
+
+_ANN_K = 10
+_ANN_NQ = 8
+
+
+# ------------------------------------------------------------- workloads ---
+
+def _rects() -> list[tuple]:
+    return wl.rectangles(n_per_tier=15)
+
+
+def _circles() -> list[tuple]:
+    return wl.distance_queries(n=40)
+
+
+def _polys() -> dict:
+    return wl.polygons(n=16)
+
+
+def _knnq() -> list[tuple]:
+    return wl.knn_queries(n=18)
+
+
+def _point_queries(sf_dir: str) -> list[tuple]:
+    from .sources.points import points_np
+    pid, x, y = points_np(sf_dir)
+    return wl.point_queries(x, y, n_hits=40, n_misses=15)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------- spark callables ---
+
+def _mk_range_count(scheme: str, refine: str) -> Callable:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine)
+        return eng.range_count(_rects())
+    return fn
+
+
+def _range_materialize(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="learned")
+    return eng.range_materialize(_rects())
+
+
+def _point_lookup(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="adaptive_grid")
+    return eng.point_lookup(_point_queries(sf_dir))
+
+
+def _distance_count(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    return eng.distance_count(_circles())
+
+
+def _pip_count(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="quadtree")
+    return eng.pip(_polys())
+
+
+def _pip_pairs(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    return eng.pip(_polys(), pairs=True)
+
+
+def _knn(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    return eng.knn(_knnq())
+
+
+def _mk_tile_assign(scheme: str) -> Callable:
+    def fn(spark, sf_dir):
+        eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+        return eng.tile_assignment()
+    return fn
+
+
+def _polygon_tiles(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    return eng.polygon_tiles(_polys())
+
+
+def _dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def _token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tx.token_count_sql("text")).cast("bigint").alias("n_tokens"))
+
+
+def _quality_score(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tx.quality_score_sql("text")).alias("score"))
+
+
+def _langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tx.langid_sql("text")).alias("lang_pred"))
+
+
+def _fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(tx.fingerprint_md5_sql("text")).alias("fp"))
+
+
+def _ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = similarity.query_vectors(spark, sf_dir, n=_ANN_NQ)
+    return similarity.brute_cosine_topk(emb, q, k=_ANN_K)
+
+
+def _events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.expr("cast(floor(unix_timestamp(ts) / 3600) as bigint)").alias("window_id"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .select("window_id", "event_type", "cnt", "vmin", "vmax")
+    )
+
+
+# rows-only (no SQL-expressible oracle; driver records rows-only check)
+
+def _minhash_pairs(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _simhash(spark, sf_dir):
+    return dedup.simhash_table(_docs(spark, sf_dir))
+
+
+def _lsh_ann(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = similarity.query_vectors(spark, sf_dir, n=_ANN_NQ)
+    return similarity.lsh_bucket_topk(emb, q, k=_ANN_K)
+
+
+def _multimodal(spark, sf_dir):
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media).select("doc_id", "media_type", "n_bytes")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for scheme in SCHEMES:
+        out[f"range_count_{scheme}"] = _mk_range_count(scheme, "learned")
+        out[f"tile_assign_{scheme}"] = _mk_tile_assign(scheme)
+    out["range_count_fixed_grid_binsearch"] = _mk_range_count("fixed_grid", "binsearch")
+    out["range_materialize"] = _range_materialize
+    out["point_lookup"] = _point_lookup
+    out["distance_count"] = _distance_count
+    out["pip_count"] = _pip_count
+    out["pip_pairs"] = _pip_pairs
+    out["knn"] = _knn
+    out["polygon_tiles"] = _polygon_tiles
+    out["dedup_exact"] = _dedup_exact
+    out["token_count"] = _token_count
+    out["quality_score"] = _quality_score
+    out["langid"] = _langid
+    out["fingerprint_md5"] = _fingerprint
+    out["ann_cosine_topk"] = _ann_topk
+    out["events_window_stats"] = _events_window
+    out["minhash_dedup_pairs"] = _minhash_pairs
+    out["simhash_table"] = _simhash
+    out["lsh_ann_topk"] = _lsh_ann
+    out["multimodal_features"] = _multimodal
+    return out
+
+
+# -------------------------------------------------------------- oracles ---
+
+def _rect_values() -> str:
+    return wl.values_clause(_rects(), ["query_id", "fx", "fy", "tx", "ty"])
+
+
+def _range_count_sql() -> str:
+    return (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, count(p.pid) AS cnt "
+        f"FROM {_rect_values()} LEFT JOIN points p "
+        f"ON p.x >= t.fx AND p.x <= t.tx AND p.y >= t.fy AND p.y <= t.ty "
+        f"GROUP BY t.query_id"
+    )
+
+
+def _range_materialize_sql() -> str:
+    return (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, p.pid AS pid, p.x AS x, p.y AS y "
+        f"FROM {_rect_values()} JOIN points p "
+        f"ON p.x >= t.fx AND p.x <= t.tx AND p.y >= t.fy AND p.y <= t.ty"
+    )
+
+
+def _point_lookup_sql() -> str:
+    vals = wl.values_clause(_point_queries(ORACLE_SF_DIR), ["query_id", "qx", "qy"])
+    return (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, coalesce(min(p.pid), -1) AS pid "
+        f"FROM {vals} LEFT JOIN points p ON p.x = t.qx AND p.y = t.qy "
+        f"GROUP BY t.query_id"
+    )
+
+
+def _distance_count_sql() -> str:
+    vals = wl.values_clause(_circles(), ["query_id", "qx", "qy", "r"])
+    pi = "pi()"
+    hav = haversine_m_sql(
+        f"(t.qx / cast(180 as double)) * {pi}", f"(t.qy / cast(180 as double)) * {pi}",
+        f"(p.x / cast(180 as double)) * {pi}", f"(p.y / cast(180 as double)) * {pi}")
+    return (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, "
+        f"count(case when {hav} <= t.r then 1 end) AS cnt "
+        f"FROM {vals} CROSS JOIN points p "
+        f"GROUP BY t.query_id"
+    )
+
+
+def _edges_values() -> str:
+    rows = []
+    for gid, (vx, vy) in _polys().items():
+        for i in range(len(vx) - 1):
+            rows.append((gid, vx[i], vy[i], vx[i + 1], vy[i + 1]))
+    return wl.values_clause(rows, ["polygon_id", "x1", "y1", "x2", "y2"]).replace(" AS t(", " AS e(")
+
+
+def _pip_core_sql() -> str:
+    """CTE computing (polygon_id, pid) containment pairs with the exact
+    reference crossing rule (include/queries/join.h:30-37)."""
+    return (
+        f"{POINTS_CTE}, edges AS (SELECT * FROM {_edges_values()}), "
+        f"crossings AS ("
+        f"  SELECT e.polygon_id, p.pid, "
+        f"  sum(case when p.y > least(e.y1, e.y2) and p.y <= greatest(e.y1, e.y2) "
+        f"      and p.x <= greatest(e.x1, e.x2) and e.y1 <> e.y2 "
+        f"      and (e.x1 = e.x2 or p.x <= (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) + e.x1) "
+        f"      then 1 else 0 end) AS c "
+        f"  FROM points p CROSS JOIN edges e GROUP BY e.polygon_id, p.pid), "
+        f"inside AS (SELECT polygon_id, pid FROM crossings WHERE c % 2 = 1)"
+    )
+
+
+def _pip_count_sql() -> str:
+    gids = ", ".join(f"({g})" for g in _polys())
+    return (
+        f"WITH {_pip_core_sql()} "
+        f"SELECT g.polygon_id AS polygon_id, count(i.pid) AS cnt "
+        f"FROM (VALUES {gids}) AS g(polygon_id) LEFT JOIN inside i USING (polygon_id) "
+        f"GROUP BY g.polygon_id"
+    )
+
+
+def _pip_pairs_sql() -> str:
+    return f"WITH {_pip_core_sql()} SELECT polygon_id, pid FROM inside"
+
+
+def _knn_sql() -> str:
+    vals = wl.values_clause(_knnq(), ["query_id", "qx", "qy", "k"])
+    return (
+        f"WITH {POINTS_CTE}, scored AS ("
+        f"  SELECT t.query_id, t.k, p.pid, p.x, p.y, "
+        f"  (p.x - t.qx) * (p.x - t.qx) + (p.y - t.qy) * (p.y - t.qy) AS d2 "
+        f"  FROM {vals} CROSS JOIN points p), "
+        f"ranked AS (SELECT query_id, k, pid, "
+        f"  row_number() OVER (PARTITION BY query_id ORDER BY d2, x, y, pid) AS rnk FROM scored) "
+        f"SELECT query_id, cast(rnk as bigint) AS rnk, pid FROM ranked WHERE rnk <= k"
+    )
+
+
+def _tile_assign_sql(scheme: str) -> str:
+    eng_part = _oracle_partitioner(scheme)
+    if scheme == "str":
+        p = eng_part
+        cps = math.ceil(p.slice_cap / p.leaf)
+        return (
+            f"WITH {POINTS_CTE}, r AS ("
+            f"  SELECT pid, x, y, row_number() OVER (ORDER BY x, y, pid) AS rank_x FROM points), "
+            f"s AS (SELECT pid, x, y, (rank_x - 1) // {p.slice_cap} AS slice_id FROM r), "
+            f"w AS (SELECT pid, slice_id, "
+            f"  row_number() OVER (PARTITION BY slice_id ORDER BY y, x, pid) AS rank_y FROM s) "
+            f"SELECT pid, slice_id * {cps} + (rank_y - 1) // {p.leaf} AS cell_id FROM w"
+        )
+    if scheme in ("fixed_grid", "adaptive_grid"):
+        expr = eng_part.assign_sql("x")
+    else:
+        expr = eng_part.assign_sql("x", "y")
+    return f"WITH {POINTS_CTE} SELECT pid, {expr} AS cell_id FROM points"
+
+
+_PART_CACHE: dict[str, object] = {}
+
+
+def _oracle_partitioner(scheme: str):
+    if scheme not in _PART_CACHE:
+        import numpy as np
+        from .operators.partitioning import (
+            AdaptiveGridPartitioner, FixedGridPartitioner, KdTreePartitioner,
+            MortonPartitioner, QuadtreePartitioner, STRPartitioner)
+        from .sources.points import points_np
+        pid, x, y = points_np(ORACLE_SF_DIR)
+        ps = 1000
+        if scheme == "fixed_grid":
+            _PART_CACHE[scheme] = FixedGridPartitioner.build(x.min(), x.max(), x.shape[0], ps)
+        elif scheme == "adaptive_grid":
+            _PART_CACHE[scheme] = AdaptiveGridPartitioner.build_from_sorted_x(np.sort(x), ps)
+        elif scheme == "kd_tree":
+            _PART_CACHE[scheme] = KdTreePartitioner.build_from_points(x, y, ps)
+        elif scheme == "quadtree":
+            _PART_CACHE[scheme] = QuadtreePartitioner.build_from_points(x, y, ps)
+        elif scheme == "morton":
+            level = max(1, min(12, int(math.ceil(math.log2(max(2.0, x.shape[0] / ps)) / 2))))
+            _PART_CACHE[scheme] = MortonPartitioner(level=level)
+        elif scheme == "str":
+            slice_cap, leaf = STRPartitioner.plan(x.shape[0], ps)
+            _PART_CACHE[scheme] = STRPartitioner(n=x.shape[0], leaf=leaf, slice_cap=slice_cap, mbrs=[])
+    return _PART_CACHE[scheme]
+
+
+def _polygon_tiles_sql() -> str:
+    p = _oracle_partitioner("fixed_grid")
+    rows = []
+    for gid, (vx, vy) in _polys().items():
+        rows.append((gid, min(vx), max(vx)))
+    vals = wl.values_clause(rows, ["polygon_id", "bfx", "btx"])
+    lo = f"least(greatest(cast(floor((t.bfx - {flit(p.xmin)}) / {flit(p.step)}) as bigint), 0), {p.n_cells - 1})"
+    hi = f"least(greatest(cast(floor((t.btx - {flit(p.xmin)}) / {flit(p.step)}) as bigint), 0), {p.n_cells - 1})"
+    return (
+        f"SELECT t.polygon_id AS polygon_id, unnest(generate_series({lo}, {hi})) AS cell_id "
+        f"FROM {vals}"
+    )
+
+
+def _ann_sql() -> str:
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv "
+        f"  FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
+        f"scored AS (SELECT q.query_id, e.vec_id, "
+        f"  list_cosine_similarity(cast(e.embedding AS double[]), q.qv) AS cos "
+        f"  FROM embeddings e CROSS JOIN q), "
+        f"ranked AS (SELECT query_id, vec_id, "
+        f"  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM scored) "
+        f"SELECT query_id, cast(rnk AS bigint) AS rnk, vec_id FROM ranked WHERE rnk <= {_ANN_K}"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    rc = _range_count_sql()
+    for scheme in SCHEMES:
+        out[f"range_count_{scheme}"] = rc
+        out[f"tile_assign_{scheme}"] = _tile_assign_sql(scheme)
+    out["range_count_fixed_grid_binsearch"] = rc
+    out["range_materialize"] = _range_materialize_sql()
+    out["point_lookup"] = _point_lookup_sql()
+    out["distance_count"] = _distance_count_sql()
+    out["pip_count"] = _pip_count_sql()
+    out["pip_pairs"] = _pip_pairs_sql()
+    out["knn"] = _knn_sql()
+    out["polygon_tiles"] = _polygon_tiles_sql()
+    out["dedup_exact"] = ("SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups "
+                          "FROM documents GROUP BY text")
+    out["token_count"] = f"SELECT doc_id, cast({tx.token_count_sql('text')} as bigint) AS n_tokens FROM documents"
+    out["quality_score"] = f"SELECT doc_id, {tx.quality_score_sql('text')} AS score FROM documents"
+    out["langid"] = f"SELECT doc_id, {tx.langid_sql('text')} AS lang_pred FROM documents"
+    out["fingerprint_md5"] = f"SELECT doc_id, {tx.fingerprint_md5_sql('text')} AS fp FROM documents"
+    out["ann_cosine_topk"] = _ann_sql()
+    out["events_window_stats"] = (
+        "SELECT cast(floor(epoch(ts) / 3600) as bigint) AS window_id, event_type, "
+        "count(*) AS cnt, min(value) AS vmin, max(value) AS vmax "
+        "FROM events GROUP BY 1, 2")
+    # minhash_dedup_pairs / simhash_table / lsh_ann_topk / multimodal_features:
+    # intentionally omitted -> rows-only check (non-SQL-expressible sketches)
+    return out

@@ -1,0 +1,110 @@
+"""Deduplication operators over the ``documents`` table.
+
+Web-scale training-data surface (new vs the reference, which has no string
+ops — SURVEY.md §2.8): exact dedup, MinHash+LSH near-dup, SimHash near-dup,
+exact n-gram Jaccard verification.
+
+Scale shape: exact dedup is one hash-shuffle groupBy (map-side partial
+aggregation; Catalyst handles skew via AQE).  MinHash-LSH is the canonical
+shingle->signature->band->bucket-join pipeline: candidate pairs only form
+inside a band bucket (no O(n^2) crossjoin); the final exact-Jaccard refine
+touches candidate pairs only.  At 100 TB both are linear scans + bounded
+shuffles keyed by content hashes — no driver-side state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sketches as sk
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full text: (rep_doc_id, n_dups).  One
+    shuffle on the text hash; representative = min(doc_id)."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("rep_doc_id", "n_dups")
+    )
+
+
+def _minhash_map(num_perm: int, bands: int, ngram: int):
+    def fn(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            sigs = [sk.minhash_signature(t, num_perm, ngram) for t in pdf["text"].to_numpy()]
+            rows_id, rows_band, rows_key = [], [], []
+            for i, sig in enumerate(sigs):
+                keys = sk.band_keys(sig, bands)
+                for b, kkey in enumerate(keys):
+                    rows_id.append(ids[i])
+                    rows_band.append(b)
+                    rows_key.append(np.int64(np.uint64(kkey) >> np.uint64(1)))  # fit int64
+            yield pd.DataFrame({"doc_id": rows_id, "band": rows_band, "bucket": rows_key})
+    return fn
+
+
+def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngram: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket.  Returns distinct
+    (doc_a, doc_b), doc_a < doc_b."""
+    bands_df = docs.select("doc_id", "text").mapInPandas(
+        _minhash_map(num_perm, bands, ngram), schema="doc_id bigint, band int, bucket bigint")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int = 64,
+                        bands: int = 16, ngram: int = 3) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates refined by exact shingle
+    Jaccard >= threshold.  The refine re-shingles both sides of each
+    candidate pair inside a pandas UDF (joined text payloads) — candidate
+    count, not corpus count, bounds the work."""
+    cand = minhash_candidates(docs, num_perm, bands, ngram)
+    txt = docs.select("doc_id", "text")
+    pairs = (
+        cand.join(txt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+        .join(txt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+    )
+
+    def refine(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            jac = np.array([
+                sk.jaccard(sk.shingle_hashes(ta, ngram), sk.shingle_hashes(tb, ngram))
+                for ta, tb in zip(pdf["text_a"].to_numpy(), pdf["text_b"].to_numpy())
+            ])
+            keep = jac >= threshold
+            yield pd.DataFrame({
+                "doc_a": pdf["doc_a"].to_numpy()[keep],
+                "doc_b": pdf["doc_b"].to_numpy()[keep],
+                "jaccard": jac[keep],
+            })
+
+    return pairs.mapInPandas(refine, schema="doc_a bigint, doc_b bigint, jaccard double")
+
+
+def simhash_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash; near-dups = small Hamming
+    distance.  Bucketing by the top-16 bits gives the scale path."""
+    def fn(it):
+        for pdf in it:
+            vals = np.array([np.int64(sk.simhash(t, ngram) >> np.uint64(1)) for t in pdf["text"].to_numpy()])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": vals})
+    return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 3) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via LSH candidates with
+    aggressive banding (recall-oriented: 32 bands of 2 rows)."""
+    return minhash_dedup_pairs(docs, threshold=threshold, num_perm=64, bands=32, ngram=ngram)
