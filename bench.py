@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "throughput_rows_sec": ...}
+
+Mirrors the reference measurement protocol (BASELINE.md): build time and
+per-workload query time measured separately; the learned-vs-binary-search
+comparison is part of the suite (the papers' headline experiment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from learnedspatial_spark.engine import SpatialEngine
+    from learnedspatial_spark.operators import dedup, similarity
+    from learnedspatial_spark.session import get_spark
+    from learnedspatial_spark.sources import workloads as wl
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    t_all0 = time.perf_counter()
+    timings: dict[str, float] = {}
+    n_rows = 0
+
+    def timed(name, fn):
+        nonlocal n_rows
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    rects = wl.rectangles(n_per_tier=40)
+    circles = wl.distance_queries(n=60)
+    polys = wl.polygons(n=24)
+    knnq = wl.knn_queries(n=30)
+
+    # warm the JVM/Python-worker pools so the first timed query is clean
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # -- build (index/assignment materialization + model fit), counted
+    #    separately like the reference's build(ms)
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="learned")
+    pts = timed("build_assign_cache", lambda: eng.assigned_points().cache())
+    n_rows = timed("build_count", lambda: pts.count())
+    timed("build_stats", lambda: eng.cell_stats())
+    timed("build_fit_models", lambda: eng.fit_models())
+
+    timed("q_range_count_learned", lambda: eng.range_count(rects).collect())
+    engb = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="binsearch")
+    engb._assigned = pts
+    timed("q_range_count_binsearch", lambda: engb.range_count(rects).collect())
+    timed("q_range_materialize", lambda: eng.range_materialize(rects).count())
+    timed("q_distance_count", lambda: eng.distance_count(circles).collect())
+    timed("q_pip_count", lambda: eng.pip(polys).collect())
+    timed("q_knn", lambda: eng.knn(knnq).collect())
+    timed("q_tile_assignment", lambda: eng.tile_assignment().count())
+
+    engq = SpatialEngine(spark, sf_dir, scheme="quadtree", refine="learned")
+    timed("q_range_count_quadtree", lambda: engq.range_count(rects).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("q_dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.query_vectors(spark, sf_dir, n=8)
+    timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())
+
+    total = round(time.perf_counter() - t_all0, 4)
+    query_total = round(sum(v for k, v in timings.items() if k.startswith("q_")), 4)
+    print(json.dumps({
+        "metric": "headline suite wall time (build + spatial/dedup/ann queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": n_rows,
+        "query_sec": query_total,
+        "throughput_rows_sec": round(n_rows * sum(1 for k in timings if k.startswith("q_")) / max(query_total, 1e-9), 1),
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

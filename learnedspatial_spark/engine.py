@@ -93,6 +93,7 @@ class SpatialEngine:
         self.partitioner = self._build_partitioner(x, y)
         self._assigned: DataFrame | None = None
         self._stats: CellStats | None = None
+        self._models: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
 
     # ------------------------------------------------------------ build ---
 
@@ -185,6 +186,34 @@ class SpatialEngine:
             ]
         return self._stats
 
+    def model_table(self) -> DataFrame:
+        """Fit the per-cell learned models ONCE as a DataFrame job (the
+        SplineCell::Build analog, Spline.hpp:18-53): one applyInPandas pass
+        emits (cell_id, n, linear_scan, knot_keys, knot_pos).  O(#cells x
+        #knots) — small, broadcastable, and the natural checkpoint/lineage
+        artifact (SURVEY.md §3 step 4)."""
+        def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ys = np.sort(pdf["y"].to_numpy())
+            m = spl.fit_cell_model(ys)
+            return pd.DataFrame([{
+                "cell_id": int(key[0]), "n": m["n"], "linear_scan": m["linear_scan"],
+                "knot_keys": m["knot_keys"], "knot_pos": m["knot_pos"],
+            }])
+        return self.assigned_points().groupBy("cell_id").applyInPandas(
+            fit, schema=("cell_id bigint, n bigint, linear_scan boolean, "
+                         "knot_keys array<double>, knot_pos array<double>"))
+
+    def fit_models(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Collect the model table into a broadcastable dict so learned
+        probes reuse knots instead of refitting per query batch."""
+        if self._models is None:
+            rows = self.model_table().collect()
+            self._models = {
+                int(r["cell_id"]): (np.asarray(r["knot_keys"]), np.asarray(r["knot_pos"]))
+                for r in rows if not r["linear_scan"]
+            }
+        return self._models
+
     # -------------------------------------------------- candidate pruning ---
 
     def _cell_query_map(self, rects: list[tuple]) -> dict[int, list[int]]:
@@ -202,6 +231,7 @@ class SpatialEngine:
 
     def _range_probe(self, rects: list[tuple], materialize: bool) -> DataFrame:
         refine = self.refine
+        models = self._models  # pre-fit knots (fit_models()); None -> fit in probe
         cellmap = self._cell_query_map(rects)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
@@ -232,8 +262,12 @@ class SpatialEngine:
             contained = (fx <= cminx) & (tx >= cmaxx) & (fy <= cminy) & (ty >= cmaxy)
             use_learned = refine == "learned" and n > spl.LINEAR_SCAN_THRESHOLD
             if use_learned:
-                keys, pos = spl.build_cdf(ys)
-                kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
+                pre = models.get(cell) if models is not None else None
+                if pre is not None:
+                    kk, kp = pre
+                else:
+                    keys, pos = spl.build_cdf(ys)
+                    kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
                 lo = spl.learned_searchsorted(ys, kk, kp, fy, "left")
                 hi = spl.learned_searchsorted(ys, kk, kp, ty, "right")
             else:

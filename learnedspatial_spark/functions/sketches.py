@@ -36,10 +36,44 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(_mix64(h))
 
 
-def minhash_signature(text: str, num_perm: int = 64, n: int = 3) -> np.ndarray:
+def token_shingle_hashes(text: str, n_tokens: int = 4) -> np.ndarray:
+    """Distinct n-token shingles -> uint64 hashes.  Token shingles (not
+    char n-grams) keep candidate sets sparse on small-vocabulary corpora:
+    char 3-grams of same-vocab word salad are near-identical across all
+    docs and blow the LSH bucket join up to O(n^2)."""
+    toks = text.split(" ")
+    if len(toks) < n_tokens:
+        toks = toks + [""] * (n_tokens - len(toks))
+    h = np.full(len(toks) - n_tokens + 1, 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(n_tokens):
+        th = np.array([_str_fnv(t) for t in toks[j:j + len(h)]], dtype=np.uint64)
+        h = (h ^ th) * np.uint64(0x100000001B3) & MASK64
+    return np.unique(_mix64(h))
+
+
+_FNV_CACHE: dict[str, int] = {}
+
+
+def _str_fnv(s: str) -> np.uint64:
+    v = _FNV_CACHE.get(s)
+    if v is None:
+        h = np.uint64(0xCBF29CE484222325)
+        for b in s.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & MASK64
+        v = int(h)
+        if len(_FNV_CACHE) < 1_000_000:  # bound executor memory
+            _FNV_CACHE[s] = v
+    return np.uint64(v)
+
+
+def get_shingles(text: str, n: int = 4, shingler: str = "token") -> np.ndarray:
+    return token_shingle_hashes(text, n) if shingler == "token" else shingle_hashes(text, n)
+
+
+def minhash_signature(text: str, num_perm: int = 64, n: int = 4, shingler: str = "token") -> np.ndarray:
     """MinHash signature: min over shingles of k universal-hash families
     ``mix(h ^ seed_i)``."""
-    sh = shingle_hashes(text, n)
+    sh = get_shingles(text, n, shingler)
     seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     # (num_perm, n_shingles) via broadcast xor then mix; min per row
     hs = _mix64(sh[None, :] ^ seeds[:, None])

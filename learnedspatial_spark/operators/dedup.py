@@ -32,11 +32,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_map(num_perm: int, bands: int, ngram: int):
+def _minhash_map(num_perm: int, bands: int, ngram: int, shingler: str):
     def fn(it):
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
-            sigs = [sk.minhash_signature(t, num_perm, ngram) for t in pdf["text"].to_numpy()]
+            sigs = [sk.minhash_signature(t, num_perm, ngram, shingler) for t in pdf["text"].to_numpy()]
             rows_id, rows_band, rows_key = [], [], []
             for i, sig in enumerate(sigs):
                 keys = sk.band_keys(sig, bands)
@@ -48,11 +48,11 @@ def _minhash_map(num_perm: int, bands: int, ngram: int):
     return fn
 
 
-def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngram: int = 3) -> DataFrame:
+def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngram: int = 4, shingler: str = "token") -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.  Returns distinct
     (doc_a, doc_b), doc_a < doc_b."""
     bands_df = docs.select("doc_id", "text").mapInPandas(
-        _minhash_map(num_perm, bands, ngram), schema="doc_id bigint, band int, bucket bigint")
+        _minhash_map(num_perm, bands, ngram, shingler), schema="doc_id bigint, band int, bucket bigint")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -64,12 +64,12 @@ def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngr
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int = 64,
-                        bands: int = 16, ngram: int = 3) -> DataFrame:
+                        bands: int = 16, ngram: int = 4, shingler: str = "token") -> DataFrame:
     """Near-duplicate pairs: LSH candidates refined by exact shingle
     Jaccard >= threshold.  The refine re-shingles both sides of each
     candidate pair inside a pandas UDF (joined text payloads) — candidate
     count, not corpus count, bounds the work."""
-    cand = minhash_candidates(docs, num_perm, bands, ngram)
+    cand = minhash_candidates(docs, num_perm, bands, ngram, shingler)
     txt = docs.select("doc_id", "text")
     pairs = (
         cand.join(txt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
@@ -81,7 +81,7 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int =
             if not len(pdf):
                 continue
             jac = np.array([
-                sk.jaccard(sk.shingle_hashes(ta, ngram), sk.shingle_hashes(tb, ngram))
+                sk.jaccard(sk.get_shingles(ta, ngram, shingler), sk.get_shingles(tb, ngram, shingler))
                 for ta, tb in zip(pdf["text_a"].to_numpy(), pdf["text_b"].to_numpy())
             ])
             keep = jac >= threshold
@@ -104,7 +104,7 @@ def simhash_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 4) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via LSH candidates with
     aggressive banding (recall-oriented: 32 bands of 2 rows)."""
     return minhash_dedup_pairs(docs, threshold=threshold, num_perm=64, bands=32, ngram=ngram)

@@ -1,0 +1,102 @@
+"""Checkpoint/resume + lineage + dedup/similarity/multimodal unit tests."""
+
+import numpy as np
+import pytest
+
+from learnedspatial_spark.functions import sketches as sk
+from learnedspatial_spark.ops.checkpoint import CheckpointManifest, run_resumable_cells
+
+
+def test_checkpoint_resume(tmp_path):
+    root = str(tmp_path / "ckpt")
+    spec = {"scheme": "fixed_grid", "xmin": 0.0, "xmax": 1.0, "n_cells": 4}
+    m = CheckpointManifest.load_or_create(root, "fit", spec)
+    processed: list[list[int]] = []
+    run_resumable_cells(m, range(10), processed.append, batch_size=3)
+    assert sorted(c for b in processed for c in b) == list(range(10))
+    # simulated restart: nothing pending
+    m2 = CheckpointManifest.load_or_create(root, "fit", spec)
+    again: list[list[int]] = []
+    n = run_resumable_cells(m2, range(10), again.append)
+    assert n == 0 and again == []
+    # new cells appear -> only they run
+    n = run_resumable_cells(m2, range(12), again.append)
+    assert n == 2 and again == [[10, 11]]
+
+
+def test_checkpoint_kill_mid_run(tmp_path):
+    root = str(tmp_path / "ckpt")
+    m = CheckpointManifest.load_or_create(root, "job", None)
+
+    calls = []
+
+    def boom(batch):
+        calls.append(batch)
+        if len(calls) == 2:
+            raise RuntimeError("kill")
+
+    with pytest.raises(RuntimeError):
+        run_resumable_cells(m, range(9), boom, batch_size=3)
+    m2 = CheckpointManifest.load_or_create(root, "job", None)
+    assert m2.pending(range(9)) == [3, 4, 5, 6, 7, 8]  # batch 2 not marked
+
+
+def test_checkpoint_lineage_mismatch(tmp_path):
+    root = str(tmp_path / "ckpt")
+    CheckpointManifest.load_or_create(root, "fit", {"scheme": "a"}).flush()
+    with pytest.raises(ValueError):
+        CheckpointManifest.load_or_create(root, "fit", {"scheme": "b"})
+
+
+def test_minhash_finds_near_dups(spark):
+    import pandas as pd
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [(0, base), (1, base.replace("lazy", "sleepy")), (2, "completely different words " * 4),
+            (3, base)]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [r[0] for r in rows],
+                                               "text": [r[1] for r in rows]}))
+    from learnedspatial_spark.operators import dedup
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.5, bands=32).collect()}
+    assert (0, 3) in pairs          # exact dup
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_hamming():
+    a = sk.simhash("the quick brown fox jumps over the lazy dog")
+    b = sk.simhash("the quick brown fox jumps over the lazy cat")
+    c = sk.simhash("zzz completely unrelated content qqq xyzzy")
+    d_ab = sk.hamming64(np.array([a]), np.array([b]))[0]
+    d_ac = sk.hamming64(np.array([a]), np.array([c]))[0]
+    assert d_ab < d_ac
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from learnedspatial_spark.operators import multimodal
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["feat"]) == 8 for r in rows[:20])
+    # deterministic across runs
+    rows2 = multimodal.extract_features(media).collect()
+    assert {r["doc_id"]: r["feat"] for r in rows} == {r["doc_id"]: r["feat"] for r in rows2}
+    frames = multimodal.frame_sample_plan(media).groupBy("doc_id").count().collect()
+    assert len(frames) > 0
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from learnedspatial_spark.operators import similarity
+    q = similarity.query_vectors(spark, "/root/testdata/sf0.001", n=4)
+    exact = similarity.brute_cosine_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_bucket_topk(emb, q, k=5, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # every query's own vector must be found (cos=1 in its own bucket)
+    for qid in {r["query_id"] for r in exact}:
+        assert (qid, qid) in approx_set
+    # nonzero overlap overall
+    assert len(exact_set & approx_set) >= 4

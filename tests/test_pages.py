@@ -1,0 +1,68 @@
+"""Pages corpus + extraction invariants (BASELINE.json input_hint):
+byte-identical extracted text per url (Arrow UDF vs oracle extractor),
+exact coordinate round-trip, batch/stream extraction equivalence."""
+
+import numpy as np
+
+from learnedspatial_spark import datagen
+from learnedspatial_spark.streaming import ingest
+
+
+def test_extract_text_byte_identical_and_deterministic():
+    pdf1 = datagen.pages_pdf(200)
+    pdf2 = datagen.pages_pdf(200)
+    assert (pdf1["url"] == pdf2["url"]).all()
+    for h, t in zip(pdf1["html"], pdf1["text"]):
+        assert datagen.extract_text_bytes(h) == t.encode("utf-8")
+    assert (pdf1["text"] == pdf2["text"]).all()
+
+
+def test_pages_df_matches_local(spark):
+    df = datagen.pages_df(spark, 200, partitions=4)
+    rows = {r["url"]: r for r in df.collect()}
+    pdf = datagen.pages_pdf(200)
+    assert len(rows) == 200
+    for _, r in pdf.iterrows():
+        got = rows[r["url"]]
+        assert bytes(got["html"]) == r["html"]
+        assert got["text"] == r["text"]
+        assert got["lang"] == r["lang"]
+
+
+def test_stream_extraction_round_trips_coords(spark):
+    df = datagen.pages_df(spark, 300, partitions=4)
+    pts = ingest.extract_points_stream(df).collect()
+    ids = np.arange(300, dtype=np.int64)
+    lat, lon = datagen.coords_for_ids(ids)
+    by_url = {r["url"]: (r["x"], r["y"]) for r in pts}
+    assert len(by_url) == 300
+    for i in ids:
+        url = f"https://site{i % 1000}.example/page/{i}"
+        gx, gy = by_url[url]
+        assert gx == lat[i] and gy == lon[i], i
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    datagen.pages_df(spark, 400, partitions=4).write.parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    pts = ingest.extract_points_stream(stream)
+    from learnedspatial_spark.operators.partitioning import FixedGridPartitioner
+    part = FixedGridPartitioner(xmin=-90.0, xmax=90.0, n_cells=8)
+    agg = ingest.windowed_tile_counts(ingest.assign_tiles_stream(pts, part), "1 minute", "5 minutes")
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed at stream end (late-drop semantics still configured)
+    q = (agg.writeStream.format("memory").queryName("tile_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"], r["cell_id"]): r["cnt"]
+           for r in spark.sql("select * from tile_counts").collect()}
+    # batch equivalence
+    batch = ingest.assign_tiles_stream(
+        ingest.extract_points_stream(spark.read.parquet(src)), part)
+    from pyspark.sql import functions as F
+    want = {(r["win_start"], r["cell_id"]): r["cnt"] for r in (
+        batch.groupBy(F.window("warc_ts", "1 minute").alias("win"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "cell_id", "cnt").collect())}
+    assert got == want and len(got) > 0
