@@ -80,12 +80,18 @@ class SpatialEngine:
         scheme: str = "fixed_grid",
         partition_size: int = DEFAULT_PARTITION_SIZE,
         refine: str = "learned",
+        salt_rows: int | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.scheme = scheme
         self.partition_size = partition_size
         self.refine = refine
+        # skew handling (north rule): cells with > salt_rows points are
+        # sub-split by a deterministic salt; probes group on (cell_id, salt)
+        # so one skewed cell fans out over salt_k tasks, results re-aggregate
+        # on the logical cell/query key (count/topk partials are associative)
+        self.salt_rows = salt_rows
         # driver-side exact splitter build (test scale); at 100 TB the tree
         # schemes switch to aggregated-stats/sampled builds (SURVEY.md §7.3(d))
         pid, x, y = points_src.points_np(sf_dir)
@@ -151,6 +157,12 @@ class SpatialEngine:
                     yield pdf
 
             out = df.mapInPandas(route, schema="pid bigint, x double, y double, cell_id bigint")
+        # hash-partition by cell_id once: every probe job (groupBy(cell_id)
+        # .applyInPandas) reuses this partitioning with a sort only — no
+        # per-query re-shuffle (verified in the physical plan); this is also
+        # the Iceberg/parquet partition key at materialization time
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        out = out.repartition(n_shuffle, "cell_id")
         self._assigned = out
         return out
 
@@ -185,6 +197,28 @@ class SpatialEngine:
                 for i in range(s.ids.shape[0])
             ]
         return self._stats
+
+    def salted_points(self) -> DataFrame:
+        """assigned points + ``salt`` column: 0 for normal cells; skewed
+        cells (count > salt_rows) split into ceil(count/salt_rows) salts via
+        pmod(hash(pid), k) — deterministic, uniform.  FixedGrid/Quadtree
+        cells are count-skewed by construction (SURVEY.md §2.3 skew note)."""
+        df = self.assigned_points()
+        if not self.salt_rows:
+            return df.withColumn("salt", F.lit(0))
+        s = self.cell_stats()
+        big = {int(c): int(math.ceil(n / self.salt_rows))
+               for c, n in zip(s.ids, s.count) if n > self.salt_rows}
+        if not big:
+            return df.withColumn("salt", F.lit(0))
+        mapping = F.create_map(*[F.lit(v) for kv in big.items() for v in kv])
+        k = F.coalesce(mapping[F.col("cell_id")], F.lit(1))
+        return df.withColumn("salt", F.pmod(F.hash("pid"), k))
+
+    def _probe_groups(self) -> tuple[DataFrame, list[str]]:
+        if self.salt_rows:
+            return self.salted_points(), ["cell_id", "salt"]
+        return self.assigned_points(), ["cell_id"]
 
     def model_table(self) -> DataFrame:
         """Fit the per-cell learned models ONCE as a DataFrame job (the
@@ -231,7 +265,9 @@ class SpatialEngine:
 
     def _range_probe(self, rects: list[tuple], materialize: bool) -> DataFrame:
         refine = self.refine
-        models = self._models  # pre-fit knots (fit_models()); None -> fit in probe
+        # pre-fit knots index the FULL cell's sorted order — unusable for
+        # salted sub-groups, so fall back to in-probe fit when salting
+        models = self._models if not self.salt_rows else None
         cellmap = self._cell_query_map(rects)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
@@ -296,7 +332,8 @@ class SpatialEngine:
                     cnt[j] = np.count_nonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j]))
             return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
-        parts = self.assigned_points().groupBy("cell_id").applyInPandas(probe, schema=schema)
+        gdf, keys = self._probe_groups()
+        parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         return parts
 
     def range_count(self, rects: list[tuple]) -> DataFrame:
@@ -383,7 +420,8 @@ class SpatialEngine:
                 cnt[j] = np.count_nonzero(d <= qrad[t])
             return pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
-        parts = self.assigned_points().groupBy("cell_id").applyInPandas(
+        gdf, keys = self._probe_groups()
+        parts = gdf.groupBy(*keys).applyInPandas(
             probe, schema="query_id bigint, cnt bigint")
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
         qdf = self.spark.createDataFrame([(q,) for q in qids], "query_id bigint")
@@ -422,7 +460,15 @@ class SpatialEngine:
             out_g, out_v = [], []
             for gid in gids:
                 vx, vy = polys[gid]
-                inside = ray_cast_inside(px, py, vx, vy)
+                # filter stage (the reference's LookUp(polygon.box),
+                # src/main.cpp:473): bbox mask before the ray-cast refine —
+                # points outside the bbox are never inside, so this is
+                # result-identical and cuts the N x E work ~10-20x
+                bb = (px >= vx.min()) & (px <= vx.max()) & (py >= vy.min()) & (py <= vy.max())
+                cand = np.flatnonzero(bb)
+                inside = np.zeros(px.shape[0], dtype=bool)
+                if cand.size:
+                    inside[cand] = ray_cast_inside(px[cand], py[cand], vx, vy)
                 if pairs:
                     hit = pids[inside]
                     out_g.extend([gid] * hit.shape[0])
@@ -434,7 +480,8 @@ class SpatialEngine:
             return pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
                                  col: np.asarray(out_v, dtype=np.int64)})
 
-        parts = self.assigned_points().groupBy("cell_id").applyInPandas(probe, schema=schema)
+        gdf, keys = self._probe_groups()
+        parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         if pairs:
             return parts
         agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))
@@ -479,27 +526,50 @@ class SpatialEngine:
                                      "d2": pd.Series(dtype="float64"), "px": pd.Series(dtype="float64"),
                                      "py": pd.Series(dtype="float64")})
             xs = pdf["x"].to_numpy(); ys = pdf["y"].to_numpy(); pids = pdf["pid"].to_numpy()
+            qi = np.asarray(qidx, dtype=np.int64)
+            # one vectorized distance matrix for all queries touching this
+            # cell; local top-k via argpartition (k << cell size), exact
+            # tie-break only within the k candidates
+            d2m = (xs[None, :] - qarr[qi, 0][:, None]) ** 2 + (ys[None, :] - qarr[qi, 1][:, None]) ** 2
             frames = []
-            for t in qidx:
-                qx, qy, k = qarr[t]
-                d2 = (xs - qx) ** 2 + (ys - qy) ** 2
-                k_i = min(int(k), d2.shape[0])
-                sel = np.lexsort((pids, ys, xs, d2))[:k_i]
+            for row, t in enumerate(qi):
+                k_i = min(int(qarr[t, 2]), xs.shape[0])
+                d2 = d2m[row]
+                part = np.argpartition(d2, k_i - 1)[:k_i] if k_i < xs.shape[0] else np.arange(xs.shape[0])
+                # ties at the k-th distance: widen to all points with
+                # d2 <= kth so the (d2,x,y,pid) order stays globally exact
+                kth = d2[part].max()
+                cand = np.flatnonzero(d2 <= kth)
+                sel = cand[np.lexsort((pids[cand], ys[cand], xs[cand], d2[cand]))][:k_i]
                 frames.append(pd.DataFrame({
-                    "query_id": np.full(k_i, qid_arr[t], dtype=np.int64),
+                    "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
                     "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]}))
             return pd.concat(frames) if frames else probe(key, pdf.iloc[:0])
 
-        parts = self.assigned_points().groupBy("cell_id").applyInPandas(
+        gdf, keys = self._probe_groups()
+        parts = gdf.groupBy(*keys).applyInPandas(
             probe, schema="query_id bigint, pid bigint, d2 double, px double, py double")
-        w = Window.partitionBy("query_id").orderBy("d2", "px", "py", "pid")
-        ranked = parts.withColumn("rnk", F.row_number().over(w))
-        kdf = self.spark.createDataFrame([(q[0], q[3]) for q in queries], "query_id bigint, k int")
-        return (
-            ranked.join(F.broadcast(kdf), "query_id")
-            .where(F.col("rnk") <= F.col("k"))
-            .select("query_id", F.col("rnk").cast("bigint").alias("rnk"), "pid")
-        )
+        # global top-k: per-query merge of the per-cell partial top-ks via
+        # one applyInPandas (numpy lexsort over <= #groups x k rows) — a
+        # window row_number here would sort the full partial set through one
+        # shuffle-sort; the merge is the associative reduce the partials
+        # were designed for
+        kmap = {int(q[0]): int(q[3]) for q in queries}
+
+        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            k = kmap.get(qid, 0)
+            d2 = pdf["d2"].to_numpy()
+            order = np.lexsort((pdf["pid"].to_numpy(), pdf["py"].to_numpy(),
+                                pdf["px"].to_numpy(), d2))[:k]
+            return pd.DataFrame({
+                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
+                "rnk": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+                "pid": pdf["pid"].to_numpy()[order],
+            })
+
+        return parts.groupBy("query_id").applyInPandas(
+            merge, schema="query_id bigint, rnk bigint, pid bigint")
 
     # ----------------------------------------------------- tile assignment ---
 

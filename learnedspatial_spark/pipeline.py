@@ -1,0 +1,101 @@
+"""End-to-end production pipeline: pages -> points -> tiled index tables.
+
+The north-star flow (BASELINE.json) as checkpointable phases, each a
+DataFrame job whose output is a materialized table (the resume unit):
+
+  1. extract   pages parquet/Iceberg -> points(url, x, y)     [no shuffle]
+  2. key       + cell_id (+ salt)                             [1 shuffle]
+               materialized partitioned by cell_id
+  3. fit       model table (cell_id, knots...)                [cell-granular,
+               checkpoint manifest skips completed cells on restart]
+  4. stats     per-cell MBR/count table + lineage record
+
+Run via ``spark-submit --py-files learnedspatial_spark.zip run_pipeline.py``
+(see repo-root run_pipeline.py; ``python tools_make_zip.py`` builds the zip).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import extract
+from .operators import spline as spl
+from .operators.partitioning import FixedGridPartitioner, MortonPartitioner, Partitioner
+from .ops.checkpoint import CheckpointManifest, run_resumable_cells
+from .ops.lineage import RunLog, cell_metrics
+
+
+def build_tiled_index(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    scheme: str = "fixed_grid",
+    partition_size: int = 1000,
+    fit_batch_cells: int = 256,
+) -> dict:
+    """Materialize the tiled point table + model table from a pages table,
+    resumable at cell granularity.  Returns a summary dict."""
+    log = RunLog(os.path.join(out_root, "_lineage"))
+    pages = spark.read.parquet(pages_path)
+    points = extract.points_from_pages(pages)
+
+    # partitioner from one stats pass (closed-form schemes need only bbox +
+    # count — no driver collect of data)
+    agg = points.agg(F.min("x"), F.max("x"), F.count(F.lit(1))).collect()[0]
+    xmin, xmax, n = float(agg[0]), float(agg[1]), int(agg[2])
+    if scheme == "fixed_grid":
+        part: Partitioner = FixedGridPartitioner.build(xmin, xmax, n, partition_size)
+        assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x")))
+    elif scheme == "morton":
+        level = max(1, min(12, int(math.ceil(math.log2(max(2.0, n / partition_size)) / 2))))
+        part = MortonPartitioner(level=level)
+        assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x", "y")))
+    else:
+        raise ValueError("pipeline materialization supports closed-form schemes (fixed_grid/morton)")
+
+    # phase 2: tiled table, partitioned by cell_id (idempotent overwrite)
+    tiled_path = os.path.join(out_root, "points_tiled")
+    (assigned.repartition("cell_id")
+     .sortWithinPartitions("y", "x")  # the reference's per-cell (y,x) sort
+     .write.mode("overwrite").partitionBy("cell_id").parquet(tiled_path))
+
+    tiled = spark.read.parquet(tiled_path)
+    cells = [r["cell_id"] for r in tiled.select("cell_id").distinct().collect()]
+
+    # phase 3: model fit, cell-granular resume
+    manifest = CheckpointManifest.load_or_create(os.path.join(out_root, "_ckpt"), "fit_models", part.to_spec())
+    model_path = os.path.join(out_root, "models")
+
+    def fit_batch(batch_cells: list[int]) -> None:
+        sub = tiled.where(F.col("cell_id").isin([int(c) for c in batch_cells]))
+
+        def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ys = np.sort(pdf["y"].to_numpy())
+            m = spl.fit_cell_model(ys)
+            return pd.DataFrame([{"cell_id": int(key[0]), "n": m["n"],
+                                  "linear_scan": m["linear_scan"],
+                                  "knot_keys": m["knot_keys"], "knot_pos": m["knot_pos"]}])
+
+        batch_df = sub.groupBy("cell_id").applyInPandas(
+            fit, schema=("cell_id bigint, n bigint, linear_scan boolean, "
+                         "knot_keys array<double>, knot_pos array<double>"))
+        (batch_df.write.mode("overwrite" if not manifest.done_cells else "append")
+         .parquet(model_path))
+
+    fitted = run_resumable_cells(manifest, cells, fit_batch, batch_size=fit_batch_cells)
+
+    # phase 4: stats + lineage
+    stats_path = os.path.join(out_root, "cell_stats")
+    cell_metrics(tiled).write.mode("overwrite").parquet(stats_path)
+    run_id = log.record_run(
+        "build_tiled_index", part.to_spec(),
+        inputs={"pages": pages_path, "rows": n},
+        extra={"cells": len(cells), "fitted_this_run": fitted, "scheme": scheme})
+    return {"run_id": run_id, "rows": n, "cells": len(cells), "fitted": fitted,
+            "tiled_path": tiled_path, "model_path": model_path}

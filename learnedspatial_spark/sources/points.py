@@ -25,13 +25,21 @@ from pyspark.sql import functions as F
 # ANSI SQL, valid in both Spark SQL and DuckDB — keep these in sync with
 # nothing: they ARE the single source of truth.
 #
-# pid: the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
-# the 6-column tuple below IS unique at every sf, so row_number over that
-# total order is a deterministic unique id in both engines.  (At production
-# scale the pid is the page url key — no global sort there; this is a
-# harness-only derivation.)
-ORDER_SQL = "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"
-PID_SQL = f"row_number() OVER (ORDER BY {ORDER_SQL})"
+# pid: the synthetic lineitem has duplicate (orderkey, linenumber) pairs
+# (only the 6-column tuple is unique), and a row_number() over a global
+# ORDER BY would force an Exchange SinglePartition into EVERY engine job
+# (observed: it serialized all probes to one task).  Instead pid is a pure
+# arithmetic 62-bit combination of the 6 columns — embarrassingly parallel,
+# bit-identical in both engines (only *, +, %, floor), and verified unique
+# at every sf (collision odds ~n^2/2^62).  floor(x*100 + 0.5) avoids
+# engine-specific round() tie conventions.
+_QC = "cast(floor(l_quantity * 100 + 0.5) as bigint)"
+_PC = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+_H1 = ("(l_orderkey * 2654435761 + l_linenumber * 40503 + l_partkey * 2246822519 + "
+       f"l_suppkey * 3266489917 + {_QC} * 668265263 + {_PC} * 374761393) % 2147483647")
+_H2 = ("(l_orderkey * 972663749 + l_linenumber * 2654435769 + l_partkey * 550024708 + "
+       f"l_suppkey * 1013904223 + {_QC} * 1540483477 + {_PC} * 2246822507) % 2147483629")
+PID_SQL = f"(({_H1}) * 2147483648 + ({_H2}))"
 # float literals via cast('..' as double): Spark parses bare 10000.0 as
 # DECIMAL and would divide under decimal semantics (see sqlcompat.flit)
 LAT_SQL = ("((l_orderkey * 7919 + l_linenumber * 104729 + l_partkey * 13) % 1800000)"

@@ -1,0 +1,43 @@
+"""End-to-end pipeline test: pages -> tiled index, resumable, queryable."""
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from learnedspatial_spark import datagen, pipeline
+from learnedspatial_spark.operators import spline as spl
+
+
+def test_build_tiled_index_and_resume(spark, tmp_path):
+    pages_path = str(tmp_path / "pages")
+    out_root = str(tmp_path / "index")
+    datagen.pages_df(spark, 3000, partitions=4).write.parquet(pages_path)
+
+    res1 = pipeline.build_tiled_index(spark, pages_path, out_root, partition_size=200)
+    assert res1["rows"] == 3000
+    assert res1["fitted"] == res1["cells"] > 5
+
+    # restart: nothing re-fits (manifest satisfied)
+    res2 = pipeline.build_tiled_index(spark, pages_path, out_root, partition_size=200)
+    assert res2["fitted"] == 0
+
+    # artifacts are queryable and models are exact accelerators
+    tiled = spark.read.parquet(res1["tiled_path"])
+    assert tiled.count() == 3000
+    models = {r["cell_id"]: r for r in spark.read.parquet(res1["model_path"]).collect()}
+    some = tiled.where(F.col("cell_id").isin(list(models)[:3])).collect()
+    by_cell = {}
+    for r in some:
+        by_cell.setdefault(r["cell_id"], []).append(r["y"])
+    for cid, ys in by_cell.items():
+        m = models[cid]
+        if m["linear_scan"]:
+            continue
+        ys = np.sort(np.asarray(ys))
+        q = np.asarray([ys[0], ys[-1], ys[len(ys) // 2], 0.0])
+        got = spl.learned_searchsorted(ys, np.asarray(m["knot_keys"]), np.asarray(m["knot_pos"]), q, "left")
+        np.testing.assert_array_equal(got, np.searchsorted(ys, q, side="left"))
+
+    # lineage recorded
+    assert os.path.exists(os.path.join(out_root, "_lineage", "runs.jsonl"))

@@ -114,3 +114,29 @@ def test_tile_assignment_total_and_consistent(spark, sf_dir, corpus, scheme):
         want = eng.partitioner.assign_np(x, y)
         for i in order[:2000]:
             assert got[int(pid[i])] == int(want[i])
+
+
+@pytest.mark.parametrize("refine", ["learned", "binsearch"])
+def test_range_count_with_skew_salting(spark, sf_dir, corpus, rects, refine):
+    """Salted probes (skew handling) must return identical results; salt
+    groups bound per-task rows."""
+    pid, x, y = corpus
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine=refine, salt_rows=200)
+    got = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+    for (qid, fx, fy, tx, ty) in rects:
+        assert got[qid] == orc.range_count(x, y, fx, fy, tx, ty), qid
+    from pyspark.sql import functions as F
+    mx = eng.salted_points().groupBy("cell_id", "salt").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 2 * 200  # hash split is uniform-ish, 2x slack
+
+
+def test_knn_with_salting_parity(spark, sf_dir, corpus):
+    pid, x, y = corpus
+    queries = wl.knn_queries(n=8)
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", salt_rows=200)
+    rows = eng.knn(queries).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rnk"])):
+        got.setdefault(r["query_id"], []).append(r["pid"])
+    for (qid, qx, qy, k) in queries:
+        assert got.get(qid, []) == orc.knn_euclidean(x, y, pid, qx, qy, k), qid
