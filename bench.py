@@ -60,6 +60,8 @@ def main() -> None:
     timed("build_stats", lambda: eng.cell_stats())
     timed("build_fit_models", lambda: eng.fit_models())
 
+    eng.range_count(rects[:2]).collect()  # warm probe path (worker imports)
+
     timed("q_range_count_learned", lambda: eng.range_count(rects).collect())
     engb = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="binsearch")
     engb._assigned = pts

@@ -182,6 +182,49 @@ def _multimodal(spark, sf_dir):
     return multimodal.extract_features(media).select("doc_id", "media_type", "n_bytes")
 
 
+def _dup_stats(spark, sf_dir):
+    """P7 duplicate statistics (GetAllTheStatistics, src/main.cpp:257-294):
+    total, distinct x, distinct y, distinct (x,y)."""
+    from .engine import SpatialEngine
+    eng = SpatialEngine(spark, sf_dir)
+    return eng.points().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("x").alias("n_x"),
+        F.countDistinct("y").alias("n_y"),
+        F.countDistinct("x", "y").alias("n_xy"))
+
+
+def _bbox(spark, sf_dir):
+    """P3 bounding-box aggregate (GetBoundingBox, Utils.hpp:59-82)."""
+    from .engine import SpatialEngine
+    eng = SpatialEngine(spark, sf_dir)
+    return eng.points().agg(
+        F.min("x").alias("minx"), F.min("y").alias("miny"),
+        F.max("x").alias("maxx"), F.max("y").alias("maxy"))
+
+
+def _cells_touched(spark, sf_dir):
+    """Q6 index-probe instrumentation (IndexLookup, SURVEY.md §2.4): number
+    of fixed-grid cells each query rectangle routes to."""
+    from .engine import SpatialEngine
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    rows = [(qid, int(eng.partitioner.cells_for_rect(fx, fy, tx, ty).shape[0]))
+            for (qid, fx, fy, tx, ty) in _rects()]
+    return spark.createDataFrame(rows, "query_id bigint, cells bigint")
+
+
+def _rolling_fp(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            fp = tx.rolling_hash_np(pdf["text"]).astype("int64")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "fp": fp})
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, fp bigint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for scheme in SCHEMES:
@@ -202,10 +245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fingerprint_md5"] = _fingerprint
     out["ann_cosine_topk"] = _ann_topk
     out["events_window_stats"] = _events_window
+    out["dup_stats"] = _dup_stats
+    out["bbox"] = _bbox
+    out["cells_touched_fixed_grid"] = _cells_touched
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["simhash_table"] = _simhash
     out["lsh_ann_topk"] = _lsh_ann
     out["multimodal_features"] = _multimodal
+    out["rolling_fingerprint"] = _rolling_fp
     return out
 
 
@@ -407,6 +454,19 @@ def oracle_sql() -> dict[str, str]:
     out["langid"] = f"SELECT doc_id, {tx.langid_sql('text')} AS lang_pred FROM documents"
     out["fingerprint_md5"] = f"SELECT doc_id, {tx.fingerprint_md5_sql('text')} AS fp FROM documents"
     out["ann_cosine_topk"] = _ann_sql()
+    out["dup_stats"] = (
+        f"WITH {POINTS_CTE} SELECT count(*) AS n, count(distinct x) AS n_x, "
+        f"count(distinct y) AS n_y, count(distinct (x, y)) AS n_xy FROM points")
+    out["bbox"] = (
+        f"WITH {POINTS_CTE} SELECT min(x) AS minx, min(y) AS miny, "
+        f"max(x) AS maxx, max(y) AS maxy FROM points")
+    fg = _oracle_partitioner("fixed_grid")
+    lo = f"least(greatest(cast(floor((t.fx - {flit(fg.xmin)}) / {flit(fg.step)}) as bigint), 0), {fg.n_cells - 1})"
+    hi = f"least(greatest(cast(floor((t.tx - {flit(fg.xmin)}) / {flit(fg.step)}) as bigint), 0), {fg.n_cells - 1})"
+    out["cells_touched_fixed_grid"] = (
+        f"SELECT t.query_id AS query_id, "
+        f"(case when t.tx < t.fx then 0 else {hi} - {lo} + 1 end) AS cells "
+        f"FROM {_rect_values()}")
     out["events_window_stats"] = (
         "SELECT cast(floor(epoch(ts) / 3600) as bigint) AS window_id, event_type, "
         "count(*) AS cnt, min(value) AS vmin, max(value) AS vmax "

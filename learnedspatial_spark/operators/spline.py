@@ -128,19 +128,28 @@ def learned_searchsorted(
     while pending.size:
         lo = np.maximum(est[pending] - w, 0)
         hi = np.minimum(est[pending] + w, n)
-        # exact bound within the window
-        local = np.empty(pending.shape[0], dtype=np.int64)
-        ok = np.empty(pending.shape[0], dtype=bool)
-        for j in range(pending.shape[0]):  # bounded by #queries, not #rows
-            a, b = lo[j], hi[j]
-            pos = a + np.searchsorted(y_sorted[a:b], q[pending[j]], side=side)
-            local[j] = pos
-            # the bound is certain iff it's interior to the window, or the
-            # window already touches the array edge on that side
-            ok[j] = (pos > a or a == 0) and (pos < b or b == n)
-        out[pending] = local
+        # vectorized windowed rank: gather each query's window rows and
+        # count values < q (left) / <= q (right) — the windows are tiny
+        # (2w), so this is one (P x 2w) comparison instead of a Python
+        # loop of np.searchsorted calls per query
+        span = 2 * w
+        idx = lo[:, None] + np.arange(span)[None, :]
+        valid = idx < hi[:, None]
+        idx = np.minimum(idx, n - 1)
+        vals = y_sorted[idx]
+        qq = q[pending][:, None]
+        cmp = (vals < qq) if side == "left" else (vals <= qq)
+        pos = lo + np.count_nonzero(cmp & valid, axis=1)
+        # the bound is certain iff interior to the window, or the window
+        # already touches the array edge on that side
+        ok = ((pos > lo) | (lo == 0)) & ((pos < hi) | (hi == n))
+        out[pending] = pos
         pending = pending[~ok]
+        est[pending] = np.clip(est[pending], 0, n - 1)
         w *= 4
+        if w > 4 * n:
+            # window covers everything: exact by construction
+            break
     return out
 
 
