@@ -31,8 +31,9 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     idx = np.arange(k)[:, None] + np.arange(n)[None, :]
     w = b[idx]
     h = np.full(k, 0xCBF29CE484222325, dtype=np.uint64)
-    for j in range(n):
-        h = (h ^ w[:, j]) * np.uint64(0x100000001B3) & MASK64
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = (h ^ w[:, j]) * np.uint64(0x100000001B3)
     return np.unique(_mix64(h))
 
 
@@ -45,25 +46,26 @@ def token_shingle_hashes(text: str, n_tokens: int = 4) -> np.ndarray:
     if len(toks) < n_tokens:
         toks = toks + [""] * (n_tokens - len(toks))
     h = np.full(len(toks) - n_tokens + 1, 0xCBF29CE484222325, dtype=np.uint64)
-    for j in range(n_tokens):
-        th = np.array([_str_fnv(t) for t in toks[j:j + len(h)]], dtype=np.uint64)
-        h = (h ^ th) * np.uint64(0x100000001B3) & MASK64
+    tok_h = np.array([_str_fnv(t) for t in toks], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n_tokens):
+            h = (h ^ tok_h[j:j + h.shape[0]]) * np.uint64(0x100000001B3)
     return np.unique(_mix64(h))
 
 
 _FNV_CACHE: dict[str, int] = {}
 
 
-def _str_fnv(s: str) -> np.uint64:
+def _str_fnv(s: str) -> int:
     v = _FNV_CACHE.get(s)
     if v is None:
-        h = np.uint64(0xCBF29CE484222325)
+        h = 0xCBF29CE484222325
         for b in s.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & MASK64
-        v = int(h)
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        v = h
         if len(_FNV_CACHE) < 1_000_000:  # bound executor memory
             _FNV_CACHE[s] = v
-    return np.uint64(v)
+    return v
 
 
 def get_shingles(text: str, n: int = 4, shingler: str = "token") -> np.ndarray:
@@ -82,15 +84,15 @@ def minhash_signature(text: str, num_perm: int = 64, n: int = 4, shingler: str =
 
 def band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     """LSH banding: hash each band of the signature to a bucket key; near
-    duplicates share >=1 band key with high probability."""
+    duplicates share >=1 band key with high probability.  Vectorized FNV
+    fold across all bands at once (row-count loops, not band loops)."""
     rows = sig.shape[0] // bands
-    out = np.empty(bands, dtype=np.uint64)
-    for b in range(bands):
-        h = np.uint64(0xCBF29CE484222325)
-        for v in sig[b * rows:(b + 1) * rows]:
-            h = (h ^ v) * np.uint64(0x100000001B3) & MASK64
-        out[b] = _mix64(np.array([h], dtype=np.uint64))[0] ^ np.uint64(b)
-    return out
+    mat = sig[: bands * rows].reshape(bands, rows)
+    h = np.full(bands, 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ mat[:, r]) * np.uint64(0x100000001B3)
+    return _mix64(h) ^ np.arange(bands, dtype=np.uint64)
 
 
 def simhash(text: str, n: int = 3) -> np.uint64:

@@ -66,3 +66,30 @@ def test_streaming_windowed_counts(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("win.start").alias("win_start"), "cell_id", "cnt").collect())}
     assert got == want and len(got) > 0
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: re-crawled urls (second
+    file repeats the first) must not re-emit; state persists across
+    micro-batches (maxFilesPerTrigger=1)."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "dup_pages")
+    base = datagen.pages_df(spark, 150, partitions=2)
+    base.write.parquet(src)
+    # duplicate every parquet part file -> same rows arrive again in later
+    # micro-batches
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+        shutil.copy(f, f"{src}/dup-{i}.parquet")
+
+    from learnedspatial_spark.streaming import ingest, stateful
+    stream = ingest.read_pages_stream(spark, src, max_files=1)
+    pts = ingest.extract_points_stream(stream)
+    deduped = stateful.dedup_stream(pts)
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select url, count(*) c from dedup_out group by url").collect()
+    assert len(rows) == 150
+    assert all(r["c"] == 1 for r in rows)
