@@ -77,12 +77,34 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("q_dedup_exact", lambda: dedup.dedup_exact(docs).count())
-    timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5).count())
+    timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, broadcast_texts=True).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())
 
-    total = round(time.perf_counter() - t_all0, 4)
+    total = round(time.perf_counter() - t_all0, 4)  # engine suite wall
+    # single-node oracle baseline (the reference is single-threaded C++;
+    # this NumPy full-scan + sorted-probe pass is the same-machine proxy,
+    # BASELINE.md: repo publishes no numbers).  Recorded for comparison,
+    # excluded from the suite wall.
+    import numpy as np
+
+    from learnedspatial_spark.sources.points import points_np
+    from oracle import oracle as orc
+    pid_a, x_a, y_a = points_np(sf_dir)
+    t0 = time.perf_counter()
+    for (qid, fx, fy, tx, ty) in rects:
+        orc.range_count(x_a, y_a, fx, fy, tx, ty)
+    timings["baseline_single_node_range_count"] = round(time.perf_counter() - t0, 4)
+    xr, yr = (x_a / 180.0) * np.pi, (y_a / 180.0) * np.pi
+    t0 = time.perf_counter()
+    for (qid, qx, qy, r) in circles:
+        orc.distance_count(xr, yr, (qx / 180.0) * np.pi, (qy / 180.0) * np.pi, r)
+    timings["baseline_single_node_distance"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    orc.pip_counts(x_a, y_a, {g: (np.asarray(vx), np.asarray(vy)) for g, (vx, vy) in polys.items()})
+    timings["baseline_single_node_pip"] = round(time.perf_counter() - t0, 4)
+
     query_total = round(sum(v for k, v in timings.items() if k.startswith("q_")), 4)
     print(json.dumps({
         "metric": "headline suite wall time (build + spatial/dedup/ann queries)",

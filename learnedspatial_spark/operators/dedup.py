@@ -64,12 +64,43 @@ def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngr
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int = 64,
-                        bands: int = 16, ngram: int = 4, shingler: str = "token") -> DataFrame:
+                        bands: int = 16, ngram: int = 4, shingler: str = "token",
+                        broadcast_texts: bool = False) -> DataFrame:
     """Near-duplicate pairs: LSH candidates refined by exact shingle
     Jaccard >= threshold.  The refine re-shingles both sides of each
-    candidate pair inside a pandas UDF (joined text payloads) — candidate
-    count, not corpus count, bounds the work."""
+    candidate pair inside a pandas UDF — candidate count, not corpus count,
+    bounds the work.
+
+    ``broadcast_texts``: ship the (doc_id -> text) map in the UDF closure
+    instead of two text joins — right when the corpus fits the driver
+    (benchmark corpora); the join path is the 100 TB default.
+    """
     cand = minhash_candidates(docs, num_perm, bands, ngram, shingler)
+    if broadcast_texts:
+        txt_map = dict(docs.select("doc_id", "text").toPandas().itertuples(index=False, name=None))
+
+        def refine_bc(it):
+            cache: dict[int, np.ndarray] = {}
+
+            def sh(did: int) -> np.ndarray:
+                v = cache.get(did)
+                if v is None:
+                    v = sk.get_shingles(txt_map[did], ngram, shingler)
+                    cache[did] = v
+                return v
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                jac = np.array([sk.jaccard(sh(int(a)), sh(int(b)))
+                                for a, b in zip(pdf["doc_a"], pdf["doc_b"])])
+                keep = jac >= threshold
+                yield pd.DataFrame({"doc_a": pdf["doc_a"].to_numpy()[keep],
+                                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                                    "jaccard": jac[keep]})
+
+        return cand.mapInPandas(refine_bc, schema="doc_a bigint, doc_b bigint, jaccard double")
+
     txt = docs.select("doc_id", "text")
     pairs = (
         cand.join(txt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
