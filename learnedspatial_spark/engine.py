@@ -81,6 +81,8 @@ class SpatialEngine:
         partition_size: int = DEFAULT_PARTITION_SIZE,
         refine: str = "learned",
         salt_rows: int | None = None,
+        source: str = "lineitem",
+        build_sample: int | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -92,11 +94,24 @@ class SpatialEngine:
         # so one skewed cell fans out over salt_k tasks, results re-aggregate
         # on the logical cell/query key (count/topk partials are associative)
         self.salt_rows = salt_rows
-        # driver-side exact splitter build (test scale); at 100 TB the tree
-        # schemes switch to aggregated-stats/sampled builds (SURVEY.md §7.3(d))
-        pid, x, y = points_src.points_np(sf_dir)
+        # source: "lineitem" = harness derivation from sf_dir tables;
+        #         "pages"   = sf_dir is a pages parquet path (url->pid hash)
+        self.source = source
+        # splitter build: exact from the full point set by default (the
+        # harness scale; bit-reproducible against the oracle SQL literals).
+        # ``build_sample=k`` switches the tree schemes to a deterministic
+        # sample of k points — the 100 TB build path (SURVEY.md §7.3(d)):
+        # cell structure changes, query RESULTS do not (routing + refine
+        # stay exact for any partitioning).
+        pid, x, y = self._points_np()
         self._n = x.shape[0]
-        self.partitioner = self._build_partitioner(x, y)
+        if build_sample is not None and x.shape[0] > build_sample:
+            step = max(1, x.shape[0] // build_sample)
+            xs, ys = x[::step], y[::step]
+            # equi-depth/median splits from the sample; counts still from n
+            self.partitioner = self._build_partitioner(xs, ys)
+        else:
+            self.partitioner = self._build_partitioner(x, y)
         self._assigned: DataFrame | None = None
         self._stats: CellStats | None = None
         self._models: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
@@ -122,7 +137,28 @@ class SpatialEngine:
             return part
         raise ValueError(f"unknown scheme {self.scheme}")
 
+    def _points_np(self):
+        if self.source == "pages":
+            # splitter build needs only (x, y); pid here is a DuckDB-local
+            # hash (the Spark-side pid is xxhash64(url) — never compared)
+            import duckdb
+            con = duckdb.connect()
+            rel = con.sql(
+                "SELECT hash(url) AS pid, "
+                "cast(regexp_extract(text, 'geo:(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)', 1) as double) AS x, "
+                "cast(regexp_extract(text, 'geo:(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)', 2) as double) AS y "
+                f"FROM read_parquet('{self.sf_dir}/*.parquet') WHERE text LIKE '%geo:%'")
+            pid, x, y = rel.fetchnumpy().values()
+            con.close()
+            return pid.astype(np.int64), x.astype(np.float64), y.astype(np.float64)
+        return points_src.points_np(self.sf_dir)
+
     def points(self) -> DataFrame:
+        if self.source == "pages":
+            from . import extract
+            pages = self.spark.read.parquet(self.sf_dir)
+            pts = extract.points_from_pages(pages)
+            return pts.select(F.xxhash64("url").alias("pid"), "x", "y")
         return points_src.points_df(self.spark, self.sf_dir)
 
     def assigned_points(self) -> DataFrame:

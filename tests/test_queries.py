@@ -140,3 +140,28 @@ def test_knn_with_salting_parity(spark, sf_dir, corpus):
         got.setdefault(r["query_id"], []).append(r["pid"])
     for (qid, qx, qy, k) in queries:
         assert got.get(qid, []) == orc.knn_euclidean(x, y, pid, qx, qy, k), qid
+
+
+def test_build_sample_results_identical(spark, sf_dir, corpus, rects):
+    """Sampled splitter build (the 100 TB path) changes cell structure but
+    never query results."""
+    pid, x, y = corpus
+    eng = SpatialEngine(spark, sf_dir, scheme="quadtree", build_sample=2000)
+    got = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+    for (qid, fx, fy, tx, ty) in rects:
+        assert got[qid] == orc.range_count(x, y, fx, fy, tx, ty), qid
+
+
+def test_pages_source_engine(spark, tmp_path):
+    """Engine over a pages corpus (production shape): range counts match a
+    NumPy oracle over the same embedded coordinates."""
+    from learnedspatial_spark import datagen
+    src = str(tmp_path / "pages")
+    datagen.pages_df(spark, 4000, partitions=4).write.parquet(src)
+    eng = SpatialEngine(spark, src, scheme="morton", source="pages")
+    rects = wl.rectangles(n_per_tier=6)
+    got = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+    ids = np.arange(4000, dtype=np.int64)
+    lat, lon = datagen.coords_for_ids(ids)
+    for (qid, fx, fy, tx, ty) in rects:
+        assert got[qid] == orc.range_count(lat, lon, fx, fy, tx, ty), qid
