@@ -177,6 +177,20 @@ def _lsh_ann(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, q, k=_ANN_K)
 
 
+_NEARDUP_T = 0.35  # sits >2e-5 from every pair's cosine at sf<=0.01 (no
+                   # boundary flakiness between the Spark and DuckDB folds)
+
+
+def _emb_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T)
+
+
+def _ivf_ann(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = similarity.query_vectors(spark, sf_dir, n=_ANN_NQ)
+    return similarity.ivf_topk(emb, q, k=_ANN_K)
+
+
 def _multimodal(spark, sf_dir):
     media = multimodal.attach_fake_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media).select("doc_id", "media_type", "n_bytes")
@@ -251,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["simhash_table"] = _simhash
     out["lsh_ann_topk"] = _lsh_ann
+    out["ivf_ann_topk"] = _ivf_ann
+    out["embedding_neardup_pairs"] = _emb_neardup
     out["multimodal_features"] = _multimodal
     out["rolling_fingerprint"] = _rolling_fp
     return out
@@ -454,6 +470,13 @@ def oracle_sql() -> dict[str, str]:
     out["langid"] = f"SELECT doc_id, {tx.langid_sql('text')} AS lang_pred FROM documents"
     out["fingerprint_md5"] = f"SELECT doc_id, {tx.fingerprint_md5_sql('text')} AS fp FROM documents"
     out["ann_cosine_topk"] = _ann_sql()
+    out["embedding_neardup_pairs"] = (
+        f"WITH a AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings) "
+        f"SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b "
+        f"FROM a x JOIN a y ON x.vec_id < y.vec_id "
+        f"WHERE list_inner_product(x.e, y.e) / "
+        f"(sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))) "
+        f">= {flit(_NEARDUP_T)}")
     out["dup_stats"] = (
         f"WITH {POINTS_CTE} SELECT count(*) AS n, count(distinct x) AS n_x, "
         f"count(distinct y) AS n_y, count(distinct (x, y)) AS n_xy FROM points")

@@ -50,6 +50,20 @@ def query_vectors(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")))
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b) with
+    cosine >= threshold.  Exact baseline = self cross join with the same
+    JVM fold as :func:`brute_cosine_topk` (DuckDB-bit-comparable, so the
+    pair set is oracle-checkable).  Scale path at 100 TB = LSH-bucketed
+    candidates (``lsh_bucket_topk`` machinery) or IVF cluster-local pairs
+    (``ivf_topk`` assignment) so only same-bucket pairs are scored."""
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    return (j.where(_cosine_col("ea", "eb") >= threshold)
+            .select("vec_id_a", "vec_id_b"))
+
+
 # ----------------------------------------------------------- LSH ANN ---
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 8128) -> np.ndarray:
@@ -85,6 +99,77 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     q_b = queries.mapInPandas(bucket_fn("qvec"),
                               schema="query_id bigint, bucket bigint, qvec array<float>")
     j = emb_b.join(F.broadcast(q_b), "bucket")
+    scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("bigint").alias("rnk"), "vec_id"))
+
+
+# ----------------------------------------------------------- IVF ANN ---
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                 seed: int = 8128) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the IVF coarse
+    quantizer).  Centroids are L2-normalized so assignment by max dot
+    product == max cosine for normalized probes."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    idx = rng.choice(n, size=min(n_centroids, n), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             sample_rows: int = 4096, seed: int = 8128) -> DataFrame:
+    """IVF approximate top-k: a coarse k-means quantizer (fit on a bounded
+    deterministic driver sample — the only driver-side state, O(centroids x
+    dim)) routes every vector to its nearest centroid ("inverted list");
+    each query probes only its ``n_probe`` nearest lists.  At 100 TB the
+    inverted-list id is the shuffle/partition key, the centroid matrix is a
+    tiny broadcast, and per-query work drops from corpus-size to
+    ~n_probe/n_centroids of it.  Output schema matches brute_cosine_topk;
+    recall < 1 by design (tested with a recall floor, not equality)."""
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64)
+         for r in emb.select("embedding").limit(sample_rows).collect()])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+
+    def assign_fn(col: str, topn: int):
+        def fn(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[col].to_numpy()).astype(np.float64)
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = mn @ cent.T
+                lists = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+                base = pdf[[c for c in pdf.columns if c != col]]
+                frames = []
+                for j in range(topn):
+                    f = base.copy()
+                    f["list_id"] = lists[:, j].astype(np.int64)
+                    f[col] = pdf[col]
+                    frames.append(f)
+                yield pd.concat(frames)
+        return fn
+
+    emb_l = emb.select("vec_id", "embedding").mapInPandas(
+        assign_fn("embedding", 1), schema="vec_id bigint, list_id bigint, embedding array<float>")
+    q_l = queries.mapInPandas(
+        assign_fn("qvec", n_probe), schema="query_id bigint, list_id bigint, qvec array<float>")
+    j = emb_l.join(F.broadcast(q_l), "list_id")
     scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))

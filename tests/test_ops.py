@@ -100,3 +100,32 @@ def test_lsh_ann_recall(spark):
         assert (qid, qid) in approx_set
     # nonzero overlap overall
     assert len(exact_set & approx_set) >= 4
+
+
+def test_ivf_ann_recall(spark):
+    from learnedspatial_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.query_vectors(spark, "/root/testdata/sf0.001", n=4)
+    exact = similarity.brute_cosine_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # each query's own vector lands in its nearest list (cos=1) -> found
+    for qid in {r["query_id"] for r in exact}:
+        assert (qid, qid) in approx_set
+    # recall floor: at least half the exact top-k overall
+    assert len(exact_set & approx_set) >= len(exact_set) // 2
+
+
+def test_embedding_neardup_pairs_symmetric_threshold(spark):
+    from learnedspatial_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["vec_id_a"] < r["vec_id_b"]
+    # monotone: tightening the threshold can only shrink the pair set
+    tight = similarity.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    s0 = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs}
+    s1 = {(r["vec_id_a"], r["vec_id_b"]) for r in tight}
+    assert s1 <= s0
