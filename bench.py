@@ -49,8 +49,13 @@ def main() -> None:
     polys = wl.polygons(n=24)
     knnq = wl.knn_queries(n=30)
 
-    # warm the JVM/Python-worker pools so the first timed query is clean
+    # warm the JVM and the Arrow Python-worker pool so the first timed
+    # query measures the operator, not daemon startup (a per-session cost,
+    # not a per-query cost on a long-lived cluster)
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+    (spark.range(int(cpus) * 4).repartition(int(cpus))
+     .mapInPandas(lambda it: (pdf for pdf in it), schema="id bigint").count())
 
     # -- build (index/assignment materialization + model fit), counted
     #    separately like the reference's build(ms)
@@ -73,6 +78,7 @@ def main() -> None:
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
 
     engq = SpatialEngine(spark, sf_dir, scheme="quadtree", refine="learned")
+    engq.range_count(rects[:2]).collect()  # warm this scheme's probe path too
     timed("q_range_count_quadtree", lambda: engq.range_count(rects).collect())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

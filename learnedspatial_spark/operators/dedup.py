@@ -50,15 +50,28 @@ def _minhash_map(num_perm: int, bands: int, ngram: int, shingler: str):
 
 def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngram: int = 4, shingler: str = "token") -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.  Returns distinct
-    (doc_a, doc_b), doc_a < doc_b."""
+    (doc_a, doc_b), doc_a < doc_b.
+
+    One shuffle on (band, bucket): signatures are computed ONCE, pairs are
+    emitted from each bucket's collected id list with a JVM higher-order
+    expression (a self-join here would re-run the signature mapInPandas for
+    both sides and shuffle twice).  Bucket membership lists are tiny by
+    LSH design (same-bucket = probable near-dups), so collect_list per
+    bucket is bounded; a pathological all-equal corpus degenerates to
+    O(n^2) pairs in ANY formulation — that cost lands in the explode, not
+    in driver memory."""
     bands_df = docs.select("doc_id", "text").mapInPandas(
         _minhash_map(num_perm, bands, ngram, shingler), schema="doc_id bigint, band int, bucket bigint")
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    pairs_in_bucket = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands_df.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
