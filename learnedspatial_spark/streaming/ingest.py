@@ -6,9 +6,9 @@ files (or Kafka), the engine extracts coordinates, assigns tiles with the
 SAME partitioner spec used by the batch index (broadcast, lineage-hashed),
 and maintains watermarked per-tile/window counts for freshness monitoring.
 
-All transformations are Column expressions — the streaming path shares the
-batch path's extraction SQL, so a row processed by either path lands in the
-same cell (tested in tests/test_streaming.py).
+The streaming path shares the batch path's extraction SQL and partitioner
+specs, so a row processed by either path lands in the same cell (tested in
+tests/test_pages.py).
 """
 
 from __future__ import annotations
@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.partitioning import FixedGridPartitioner, Partitioner
+from ..operators.partitioning import (
+    FixedGridPartitioner,
+    MortonPartitioner,
+    Partitioner,
+)
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -42,12 +46,27 @@ def extract_points_stream(pages: DataFrame) -> DataFrame:
 
 
 def assign_tiles_stream(points: DataFrame, partitioner: Partitioner) -> DataFrame:
-    """Attach cell_id with the broadcast partitioner spec.  Closed-form
-    schemes stay Column-only (fixed grid here); tree schemes would use the
-    same mapInPandas router as batch."""
+    """Attach cell_id with the broadcast partitioner spec — same spec, same
+    cell, batch or stream.  Closed-form schemes (fixed grid, Morton) stay
+    Column-only; tree/equi-depth schemes route through the identical
+    vectorized kernel the batch engine uses, via mapInPandas (supported on
+    streaming DataFrames; the spec rides the task closure, O(#cells))."""
     if isinstance(partitioner, FixedGridPartitioner):
         return points.withColumn("cell_id", F.expr(partitioner.assign_sql("x")))
-    raise NotImplementedError("streaming tile assignment: fixed_grid only (round 1)")
+    if isinstance(partitioner, MortonPartitioner):
+        return points.withColumn("cell_id", F.expr(partitioner.assign_sql("x", "y")))
+    spec = partitioner.to_spec()
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in points.schema.fields) + ", cell_id bigint"
+
+    def route(it):
+        part = Partitioner.from_spec(spec)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["cell_id"] = part.assign_np(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+            yield pdf
+
+    return points.mapInPandas(route, schema=out_schema)
 
 
 def windowed_tile_counts(points_with_cells: DataFrame, window: str = "10 minutes",
