@@ -171,6 +171,10 @@ def _simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir))
 
 
+def _simhash_md5(spark, sf_dir):
+    return dedup.simhash_md5_table(_docs(spark, sf_dir))
+
+
 def _lsh_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = similarity.query_vectors(spark, sf_dir, n=_ANN_NQ)
@@ -264,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cells_touched_fixed_grid"] = _cells_touched
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["simhash_table"] = _simhash
+    out["simhash_md5_table"] = _simhash_md5
     out["lsh_ann_topk"] = _lsh_ann
     out["ivf_ann_topk"] = _ivf_ann
     out["embedding_neardup_pairs"] = _emb_neardup
@@ -490,6 +495,19 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT t.query_id AS query_id, "
         f"(case when t.tx < t.fx then 0 else {hi} - {lo} + 1 end) AS cells "
         f"FROM {_rect_values()}")
+    out["simhash_md5_table"] = (
+        "WITH g AS ("
+        "  SELECT d.doc_id, md5(substring(d.text, t.i, 3)) AS h"
+        "  FROM documents d, LATERAL unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS t(i)), "
+        "jj AS (SELECT unnest(generate_series(0, 63)) AS j), "
+        "bits AS ("
+        "  SELECT g.doc_id, jj.j, "
+        f" sum({dedup.SIMHASH_SIGN_EXPR}) AS s"
+        "  FROM g CROSS JOIN jj GROUP BY g.doc_id, jj.j) "
+        "SELECT doc_id, "
+        "cast(sum(case when s > 0 and j < 32 then pow(2, j) else 0 end) as bigint) AS sim_lo, "
+        "cast(sum(case when s > 0 and j >= 32 then pow(2, j - 32) else 0 end) as bigint) AS sim_hi "
+        "FROM bits GROUP BY doc_id")
     out["events_window_stats"] = (
         "SELECT cast(floor(epoch(ts) / 3600) as bigint) AS window_id, event_type, "
         "count(*) AS cnt, min(value) AS vmin, max(value) AS vmax "

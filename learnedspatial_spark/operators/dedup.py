@@ -148,6 +148,45 @@ def simhash_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
 
 
+# Shared Spark/DuckDB SQL fragment: given hex digest column ``h`` and bit
+# index column ``j`` (0..63), +1 if bit j of the 64-bit hex prefix is set
+# else -1.  Bit j lives in hex char j/4 at weight 2^(3 - j%4); both engines
+# agree on substring/instr/floor/pow semantics here, so the simhash below
+# is bit-identical across Spark and the DuckDB oracle.
+SIMHASH_SIGN_EXPR = (
+    "case when floor((instr('0123456789abcdef', "
+    "substring(h, cast(floor(j / 4) as int) + 1, 1)) - 1) "
+    "/ pow(2, 3 - (j % 4))) % 2 = 1 then 1 else -1 end"
+)
+
+
+def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) — 64-bit SimHash over char-n-gram md5
+    hashes, computed ENTIRELY with JVM Column expressions (no Python): the
+    text explodes to one row per n-gram position, md5 hashes JVM-side, the
+    per-bit ±1 sums aggregate with map-side partial aggregation, and the
+    two unsigned 32-bit halves reassemble exactly.  Cross-engine-checkable
+    (``entrylib`` carries the DuckDB twin), unlike :func:`simhash_table`
+    whose splitmix mixing needs uint64 wraparound SQL can't express.
+
+    At 100 TB this is a single wide scan -> two hash aggregations keyed by
+    (doc_id, bit) then doc_id; no driver state, no UDF."""
+    spark = docs.sparkSession
+    g = (docs.select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (ngram - 1), F.lit(1)))).alias("i"),
+            "text")
+         .select("doc_id", F.md5(F.expr(f"cast(substring(text, i, {ngram}) as binary)")).alias("h")))
+    jj = spark.range(64).select(F.col("id").alias("j"))
+    bits = (g.crossJoin(F.broadcast(jj))
+            .groupBy("doc_id", "j")
+            .agg(F.sum(F.expr(SIMHASH_SIGN_EXPR)).alias("s")))
+    return (bits.groupBy("doc_id").agg(
+        F.expr("cast(sum(case when s > 0 and j < 32 then pow(2, j) else 0 end) as bigint)").alias("sim_lo"),
+        F.expr("cast(sum(case when s > 0 and j >= 32 then pow(2, j - 32) else 0 end) as bigint)").alias("sim_hi")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 4) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via LSH candidates with
     aggressive banding (recall-oriented: 32 bands of 2 rows)."""
