@@ -88,6 +88,17 @@ def main() -> None:
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())
 
+    # p50 single-query latency (BASELINE.md operational target): each
+    # measurement is one full engine job for one rectangle — planning +
+    # pruning + probe + aggregation, the distributed analog of ns/lookup
+    lat = []
+    for (qid, fx, fy, tx, ty) in rects[:20]:
+        t0 = time.perf_counter()
+        eng.range_count([(qid, fx, fy, tx, ty)]).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_latency = round(lat[len(lat) // 2], 4)
+
     total = round(time.perf_counter() - t_all0, 4)  # engine suite wall
     # single-node oracle baseline (the reference is single-threaded C++;
     # this NumPy full-scan + sorted-probe pass is the same-machine proxy,
@@ -120,6 +131,7 @@ def main() -> None:
         "sf": sf,
         "rows": n_rows,
         "query_sec": query_total,
+        "p50_query_latency_sec": p50_latency,
         "throughput_rows_sec": round(n_rows * sum(1 for k in timings if k.startswith("q_")) / max(query_total, 1e-9), 1),
         "cpus": int(cpus),
     }))

@@ -423,6 +423,16 @@ class SpatialEngine:
         Matuschek circle bbox (conservative, SURVEY.md §7.3(c)) through the
         same cell pruning, refine = haversine(radians) <= r inclusive
         (include/queries/distance.h:36-45).  Returns (query_id, cnt)."""
+        return self._distance_probe(circles, materialize=False)
+
+    def distance_materialize(self, circles: list[tuple]) -> DataFrame:
+        """Q4 radius query, materializing form: the reference's live path
+        materializes the refined hit vector before counting
+        (src/main.cpp:382-397) — this returns those rows as
+        (query_id, pid)."""
+        return self._distance_probe(circles, materialize=True)
+
+    def _distance_probe(self, circles: list[tuple], materialize: bool) -> DataFrame:
         from .functions import geo
         qids = [c[0] for c in circles]
         latr = np.asarray([(c[1] / 180.0) * math.pi for c in circles])
@@ -441,15 +451,30 @@ class SpatialEngine:
         qrad = rad
         qid_arr = np.asarray(qids, dtype=np.int64)
 
+        schema = ("query_id bigint, pid bigint" if materialize
+                  else "query_id bigint, cnt bigint")
+
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
             qidx = cellmap.get(cell)
             if not qidx:
-                return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")})
+                return pd.DataFrame({
+                    "query_id": pd.Series(dtype="int64"),
+                    ("pid" if materialize else "cnt"): pd.Series(dtype="int64")})
             # deg2rad exactly as the reference: (deg / 180) * pi
             xr = (pdf["x"].to_numpy() / 180.0) * math.pi
             yr = (pdf["y"].to_numpy() / 180.0) * math.pi
             qi = np.asarray(qidx, dtype=np.int64)
+            if materialize:
+                pids = pdf["pid"].to_numpy()
+                out_q, out_p = [], []
+                for t in qi:
+                    d = _hav(qlat[t] / 180.0 * math.pi, qlon[t] / 180.0 * math.pi, xr, yr)
+                    hit = pids[d <= qrad[t]]
+                    out_q.append(np.full(hit.shape[0], qid_arr[t], dtype=np.int64))
+                    out_p.append(hit)
+                return pd.DataFrame({"query_id": np.concatenate(out_q),
+                                     "pid": np.concatenate(out_p)})
             cnt = np.empty(qi.shape[0], dtype=np.int64)
             for j, t in enumerate(qi):
                 d = _hav(qlat[t] / 180.0 * math.pi, qlon[t] / 180.0 * math.pi, xr, yr)
@@ -457,8 +482,9 @@ class SpatialEngine:
             return pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
         gdf, keys = self._probe_groups()
-        parts = gdf.groupBy(*keys).applyInPandas(
-            probe, schema="query_id bigint, cnt bigint")
+        parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
+        if materialize:
+            return parts
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
         qdf = self.spark.createDataFrame([(q,) for q in qids], "query_id bigint")
         return qdf.join(agg, "query_id", "left").select(

@@ -92,6 +92,25 @@ def _distance_count(spark, sf_dir):
     return eng.distance_count(_circles())
 
 
+def _distance_materialize(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="adaptive_grid")
+    return eng.distance_materialize(_circles())
+
+
+def _point_lookup_quadtree(spark, sf_dir):
+    eng = SpatialEngine(spark, sf_dir, scheme="quadtree")
+    return eng.point_lookup(_point_queries(sf_dir))
+
+
+def _range_count_salted(spark, sf_dir):
+    """Skew-salted probe (north rule): oversized cells sub-split by a
+    deterministic salt; results must be identical to the unsalted oracle
+    (count partials re-aggregate on query_id)."""
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="learned",
+                        salt_rows=2000)
+    return eng.range_count(_rects())
+
+
 def _pip_count(spark, sf_dir):
     eng = SpatialEngine(spark, sf_dir, scheme="quadtree")
     return eng.pip(_polys())
@@ -252,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["range_materialize"] = _range_materialize
     out["point_lookup"] = _point_lookup
     out["distance_count"] = _distance_count
+    out["distance_materialize"] = _distance_materialize
+    out["point_lookup_quadtree"] = _point_lookup_quadtree
+    out["range_count_fixed_grid_salted"] = _range_count_salted
     out["pip_count"] = _pip_count
     out["pip_pairs"] = _pip_pairs
     out["knn"] = _knn
@@ -324,6 +346,19 @@ def _distance_count_sql() -> str:
         f"count(case when {hav} <= t.r then 1 end) AS cnt "
         f"FROM {vals} CROSS JOIN points p "
         f"GROUP BY t.query_id"
+    )
+
+
+def _distance_materialize_sql() -> str:
+    vals = wl.values_clause(_circles(), ["query_id", "qx", "qy", "r"])
+    pi = "pi()"
+    hav = haversine_m_sql(
+        f"(t.qx / cast(180 as double)) * {pi}", f"(t.qy / cast(180 as double)) * {pi}",
+        f"(p.x / cast(180 as double)) * {pi}", f"(p.y / cast(180 as double)) * {pi}")
+    return (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, p.pid AS pid "
+        f"FROM {vals} CROSS JOIN points p WHERE {hav} <= t.r"
     )
 
 
@@ -463,7 +498,10 @@ def oracle_sql() -> dict[str, str]:
     out["range_count_fixed_grid_binsearch"] = rc
     out["range_materialize"] = _range_materialize_sql()
     out["point_lookup"] = _point_lookup_sql()
+    out["point_lookup_quadtree"] = _point_lookup_sql()
+    out["range_count_fixed_grid_salted"] = rc
     out["distance_count"] = _distance_count_sql()
+    out["distance_materialize"] = _distance_materialize_sql()
     out["pip_count"] = _pip_count_sql()
     out["pip_pairs"] = _pip_pairs_sql()
     out["knn"] = _knn_sql()
