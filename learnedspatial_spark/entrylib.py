@@ -219,6 +219,11 @@ def _multimodal(spark, sf_dir):
     return multimodal.extract_features(media).select("doc_id", "media_type", "n_bytes")
 
 
+def _multimodal_resize(spark, sf_dir):
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    return multimodal.resize_images(media).select("doc_id", "out_w", "out_h")
+
+
 def _dup_stats(spark, sf_dir):
     """P7 duplicate statistics (GetAllTheStatistics, src/main.cpp:257-294):
     total, distinct x, distinct y, distinct (x,y)."""
@@ -295,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_ann_topk"] = _ivf_ann
     out["embedding_neardup_pairs"] = _emb_neardup
     out["multimodal_features"] = _multimodal
+    out["multimodal_resize"] = _multimodal_resize
     out["rolling_fingerprint"] = _rolling_fp
     return out
 
@@ -533,6 +539,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT t.query_id AS query_id, "
         f"(case when t.tx < t.fx then 0 else {hi} - {lo} + 1 end) AS cells "
         f"FROM {_rect_values()}")
+    out["multimodal_resize"] = (
+        "WITH m AS (SELECT doc_id, cast(doc_id % 640 + 1 as int) AS w, "
+        "cast(doc_id % 480 + 1 as int) AS h FROM documents WHERE doc_id % 3 = 0), "
+        "s AS (SELECT doc_id, w, h, "
+        "least(cast(1 as double), cast(256 as double) / greatest(w, h)) AS sc FROM m) "
+        "SELECT doc_id, cast(greatest(1, floor(w * sc)) as int) AS out_w, "
+        "cast(greatest(1, floor(h * sc)) as int) AS out_h FROM s")
     out["simhash_md5_table"] = (
         "WITH g AS ("
         "  SELECT d.doc_id, md5(substring(d.text, t.i, 3)) AS h"

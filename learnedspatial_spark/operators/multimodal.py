@@ -69,6 +69,36 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     return media.mapInPandas(fn, schema="doc_id bigint, media_type string, feat array<float>, n_bytes bigint")
 
 
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving resize for image rows.  Target dimensions are pure
+    Column math (JVM-side; never upscale, clamp longest side to
+    ``max_dim``); the pixel resample itself is the STUBBED decode step —
+    deterministic sha256 fake standing in for PIL/opencv, so the Spark-side
+    schema/batching is real and testable without codec libraries.  Output:
+    (doc_id, width, height, out_w, out_h, resized binary)."""
+    imgs = media.where(F.col("media_type") == "image/png")
+    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / F.greatest("width", "height"))
+    planned = imgs.select(
+        "doc_id", "payload", "width", "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int").alias("out_h"),
+    )
+
+    def fn(it):
+        for pdf in it:
+            resized = [
+                # STUB resample: digest of payload + target dims
+                hashlib.sha256(bytes(p) + int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big")).digest()
+                for p, w, h in zip(pdf["payload"], pdf["out_w"], pdf["out_h"])
+            ]
+            out = pdf[["doc_id", "width", "height", "out_w", "out_h"]].copy()
+            out["resized"] = resized
+            yield out
+
+    return planned.mapInPandas(
+        fn, schema="doc_id bigint, width int, height int, out_w int, out_h int, resized binary")
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled timestamp
     (pure Column math — sequence/explode; decode of the frame itself is the

@@ -129,3 +129,20 @@ def test_embedding_neardup_pairs_symmetric_threshold(spark):
     s0 = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs}
     s1 = {(r["vec_id_a"], r["vec_id_b"]) for r in tight}
     assert s1 <= s0
+
+
+def test_multimodal_resize_dims_and_determinism(spark):
+    from learnedspatial_spark.operators import multimodal
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.attach_fake_media(docs)
+    rows = multimodal.resize_images(media, max_dim=100).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # aspect-preserving, never upscaled, longest side <= 100
+        assert 1 <= r["out_w"] <= min(r["width"], 100)
+        assert 1 <= r["out_h"] <= min(r["height"], 100)
+        assert max(r["out_w"], r["out_h"]) <= 100
+        assert len(bytes(r["resized"])) == 32
+    rows2 = multimodal.resize_images(media, max_dim=100).collect()
+    assert {r["doc_id"]: bytes(r["resized"]) for r in rows} == \
+           {r["doc_id"]: bytes(r["resized"]) for r in rows2}
