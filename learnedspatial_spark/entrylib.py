@@ -180,6 +180,25 @@ def _events_window(spark, sf_dir):
     )
 
 
+def _events_sessionize(spark, sf_dir):
+    """Sessionization: per-user sessions with a 30-minute inactivity gap —
+    Spark's session_window (the streaming-capable state machine) checked
+    against a lag/cumsum reconstruction in the DuckDB oracle.  New engine
+    surface (the reference has no windows/state at all, SURVEY.md §2.8)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("vmax"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events", "vmax"))
+
+
+def _events_json_kv(spark, sf_dir):
+    """JSON prop extraction over the events stream table (engine substrate:
+    Spark's JSON functions; oracle uses DuckDB's)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+
+
 # rows-only (no SQL-expressible oracle; driver records rows-only check)
 
 def _minhash_pairs(spark, sf_dir):
@@ -290,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fingerprint_md5"] = _fingerprint
     out["ann_cosine_topk"] = _ann_topk
     out["events_window_stats"] = _events_window
+    out["events_sessionize"] = _events_sessionize
+    out["events_json_kv"] = _events_json_kv
     out["dup_stats"] = _dup_stats
     out["bbox"] = _bbox
     out["cells_touched_fixed_grid"] = _cells_touched
@@ -563,6 +584,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cast(floor(epoch(ts) / 3600) as bigint) AS window_id, event_type, "
         "count(*) AS cnt, min(value) AS vmin, max(value) AS vmax "
         "FROM events GROUP BY 1, 2")
-    # minhash_dedup_pairs / simhash_table / lsh_ann_topk / multimodal_features:
-    # intentionally omitted -> rows-only check (non-SQL-expressible sketches)
+    out["events_sessionize"] = (
+        # Spark session_window semantics: an event extends its session's
+        # window to ts+gap; the NEXT event joins iff its ts < that end, so
+        # a gap >= 30 min starts a new session — reconstructed with
+        # lag + running sum
+        "WITH o AS (SELECT user_id, event_id, ts, value, case when lag(ts) OVER w IS NULL "
+        "  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE then 1 else 0 end AS new_s "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, value, sum(new_s) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+        "max(value) AS vmax FROM s GROUP BY user_id, sid")
+    out["events_json_kv"] = (
+        "SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k FROM events")
+    # minhash_dedup_pairs / simhash_table / lsh_ann_topk / multimodal_features
+    # / rolling_fingerprint / ivf_ann_topk: intentionally omitted ->
+    # rows-only check (non-SQL-expressible sketches / approximate paths)
     return out
