@@ -274,6 +274,40 @@ def _cells_touched(spark, sf_dir):
     return spark.createDataFrame(rows, "query_id bigint, cells bigint")
 
 
+def _scan_overhead(spark, sf_dir):
+    """O12 PRINT_STATS instrumentation as data (src/main.cpp:161-186,
+    Spline.hpp:461-517): per query, ``scanned`` = points in the routed
+    fixed-grid cells whose y falls in the query's y-slice (exactly the
+    candidate run the in-cell probe walks), ``wrongly_scanned`` = scanned
+    points failing the x predicate.  Pure JVM join/agg over the assigned
+    points — the probe's work, measured declaratively."""
+    from .engine import SpatialEngine
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    p = eng.partitioner
+    rows = []
+    for (qid, fx, fy, tx, ty) in _rects():
+        cells = p.cells_for_rect(fx, fy, tx, ty)
+        if cells.size:
+            rows.append((qid, fx, fy, tx, ty, int(cells.min()), int(cells.max())))
+        else:  # empty/inverted query rectangle: no cells routed
+            rows.append((qid, fx, fy, tx, ty, 0, -1))
+    qdf = spark.createDataFrame(
+        rows, "query_id bigint, fx double, fy double, tx double, ty double, lo bigint, hi bigint")
+    pts = eng.assigned_points()
+    j = pts.join(F.broadcast(qdf),
+                 (F.col("cell_id") >= F.col("lo")) & (F.col("cell_id") <= F.col("hi")))
+    agg = (j.groupBy("query_id").agg(
+        F.count(F.when((F.col("y") >= F.col("fy")) & (F.col("y") <= F.col("ty")), 1)).alias("scanned"),
+        F.count(F.when((F.col("y") >= F.col("fy")) & (F.col("y") <= F.col("ty"))
+                       & (F.col("x") >= F.col("fx")) & (F.col("x") <= F.col("tx")), 1)).alias("hits")))
+    alldf = spark.createDataFrame([(r[0],) for r in rows], "query_id bigint")
+    return (alldf.join(agg, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("scanned", F.lit(0)).cast("bigint").alias("scanned"),
+                    (F.coalesce("scanned", F.lit(0)) - F.coalesce("hits", F.lit(0)))
+                    .cast("bigint").alias("wrongly_scanned")))
+
+
 def _rolling_fp(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     import pandas as pd
@@ -314,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dup_stats"] = _dup_stats
     out["bbox"] = _bbox
     out["cells_touched_fixed_grid"] = _cells_touched
+    out["scan_overhead_fixed_grid"] = _scan_overhead
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["simhash_table"] = _simhash
     out["simhash_md5_table"] = _simhash_md5
@@ -560,6 +595,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT t.query_id AS query_id, "
         f"(case when t.tx < t.fx then 0 else {hi} - {lo} + 1 end) AS cells "
         f"FROM {_rect_values()}")
+    cell = (f"least(greatest(cast(floor((p.x - {flit(fg.xmin)}) / {flit(fg.step)}) as bigint), 0), "
+            f"{fg.n_cells - 1})")
+    in_cells = f"{cell} >= {lo} AND {cell} <= {hi}"
+    in_y = "p.y >= t.fy AND p.y <= t.ty"
+    in_x = "p.x >= t.fx AND p.x <= t.tx"
+    out["scan_overhead_fixed_grid"] = (
+        f"WITH {POINTS_CTE} "
+        f"SELECT t.query_id AS query_id, "
+        f"count(case when {in_cells} AND {in_y} then 1 end) AS scanned, "
+        f"count(case when {in_cells} AND {in_y} then 1 end) - "
+        f"count(case when {in_cells} AND {in_y} AND {in_x} then 1 end) AS wrongly_scanned "
+        f"FROM {_rect_values()} CROSS JOIN points p GROUP BY t.query_id")
     out["multimodal_resize"] = (
         "WITH m AS (SELECT doc_id, cast(doc_id % 640 + 1 as int) AS w, "
         "cast(doc_id % 480 + 1 as int) AS h FROM documents WHERE doc_id % 3 = 0), "

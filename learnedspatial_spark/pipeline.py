@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from . import extract
 from .operators import spline as spl
-from .operators.partitioning import FixedGridPartitioner, MortonPartitioner, Partitioner
+from .operators.partitioning import (
+    AdaptiveGridPartitioner,
+    FixedGridPartitioner,
+    KdTreePartitioner,
+    MortonPartitioner,
+    Partitioner,
+    QuadtreePartitioner,
+)
 from .ops.checkpoint import CheckpointManifest, run_resumable_cells
 from .ops.lineage import RunLog, cell_metrics
 
@@ -38,6 +45,7 @@ def build_tiled_index(
     scheme: str = "fixed_grid",
     partition_size: int = 1000,
     fit_batch_cells: int = 256,
+    build_sample_rows: int = 250_000,
 ) -> dict:
     """Materialize the tiled point table + model table from a pages table,
     resumable at cell granularity.  Returns a summary dict."""
@@ -56,8 +64,40 @@ def build_tiled_index(
         level = max(1, min(12, int(math.ceil(math.log2(max(2.0, n / partition_size)) / 2))))
         part = MortonPartitioner(level=level)
         assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x", "y")))
+    elif scheme in ("adaptive_grid", "kd_tree", "quadtree"):
+        # tree/equi-depth schemes at production scale: splitter from a
+        # BOUNDED deterministic sample (SURVEY.md §7.3(d)) — a hash-mod
+        # filter keeps the collect O(build_sample_rows) regardless of
+        # corpus size; per-leaf budget shrinks by the sampling ratio so the
+        # full-scale cell occupancy still targets partition_size.  Cell
+        # boundaries differ from an exact build; query RESULTS never do
+        # (routing + refine stay exact for any partitioning).
+        k = max(1, n // build_sample_rows)
+        samp = (points.where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+                .select("x", "y").collect())
+        xs = np.asarray([r["x"] for r in samp])
+        ys = np.asarray([r["y"] for r in samp])
+        leaf = max(1, partition_size // k)
+        if scheme == "adaptive_grid":
+            part = AdaptiveGridPartitioner.build_from_sorted_x(np.sort(xs), leaf)
+        elif scheme == "kd_tree":
+            part = KdTreePartitioner.build_from_points(xs, ys, leaf)
+        else:
+            part = QuadtreePartitioner.build_from_points(xs, ys, leaf)
+        spec = part.to_spec()
+        out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in points.schema.fields) + ", cell_id bigint"
+
+        def route(it):
+            p = Partitioner.from_spec(spec)
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["cell_id"] = p.assign_np(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+                yield pdf
+
+        assigned = points.mapInPandas(route, schema=out_schema)
     else:
-        raise ValueError("pipeline materialization supports closed-form schemes (fixed_grid/morton)")
+        raise ValueError(f"unknown scheme {scheme}")
 
     # phase 2: tiled table, partitioned by cell_id (idempotent overwrite)
     tiled_path = os.path.join(out_root, "points_tiled")

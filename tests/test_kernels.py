@@ -95,3 +95,38 @@ def test_knn_oracle_ties():
     got = orc.knn_euclidean(x, y, pid, 0.0, 0.0, 3)
     # all d2 == 1; ties by (x, y, pid): (0,-1,3), (0,1,4), (1,0,1)
     assert got == [3, 4, 1]
+
+
+# hypothesis property tests: the learned kernel must equal binary search on
+# ANY input — hypothesis hunts adversarial shapes (constant runs, single
+# element, extreme duplicates) beyond the seeded-RNG sweeps above.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=300),
+    probes=st.lists(st.integers(min_value=-25, max_value=25), min_size=1, max_size=50),
+)
+@settings(max_examples=150, deadline=None)
+def test_learned_searchsorted_property(vals, probes):
+    y = np.sort(np.asarray(vals, dtype=np.float64))
+    keys, pos = spl.build_cdf(y)
+    kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
+    q = np.asarray(probes, dtype=np.float64)
+    for side in ("left", "right"):
+        np.testing.assert_array_equal(
+            spl.learned_searchsorted(y, kk, kp, q, side),
+            np.searchsorted(y, q, side=side))
+
+
+@given(vals=st.lists(st.floats(min_value=-180.0, max_value=180.0,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_spline_error_bound_property(vals):
+    y = np.sort(np.asarray(vals, dtype=np.float64))
+    keys, pos = spl.build_cdf(y)
+    kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
+    est = spl.spline_estimate(kk, kp, keys)
+    assert np.max(np.abs(est - pos)) <= spl.SPLINE_EPSILON + 1e-9

@@ -41,3 +41,33 @@ def test_build_tiled_index_and_resume(spark, tmp_path):
 
     # lineage recorded
     assert os.path.exists(os.path.join(out_root, "_lineage", "runs.jsonl"))
+
+
+def test_build_tiled_index_tree_scheme_sampled(spark, tmp_path):
+    """Tree-scheme materialization via the bounded sampled splitter build:
+    the tiled table covers every row exactly once, the per-cell (y,x) order
+    holds, and a full-scan range query over the tiled table matches the
+    flat extraction (partitioning never changes results)."""
+    pages_path = str(tmp_path / "pages_t")
+    out_root = str(tmp_path / "index_t")
+    datagen.pages_df(spark, 2500, partitions=4).write.parquet(pages_path)
+
+    # build_sample_rows < n forces the sampled path (k > 1)
+    res = pipeline.build_tiled_index(spark, pages_path, out_root,
+                                     scheme="quadtree", partition_size=200,
+                                     build_sample_rows=500)
+    assert res["rows"] == 2500
+    assert res["cells"] > 3
+    tiled = spark.read.parquet(res["tiled_path"])
+    assert tiled.count() == 2500
+    assert tiled.select("url").distinct().count() == 2500
+    # result invariance: range filter over tiled == over flat extraction
+    from learnedspatial_spark import extract
+    flat = extract.points_from_pages(spark.read.parquet(pages_path))
+    pred = (F.col("x") >= 10) & (F.col("x") <= 50) & (F.col("y") >= -60) & (F.col("y") <= 80)
+    assert tiled.where(pred).count() == flat.where(pred).count()
+    # resume is a no-op
+    res2 = pipeline.build_tiled_index(spark, pages_path, out_root,
+                                      scheme="quadtree", partition_size=200,
+                                      build_sample_rows=500)
+    assert res2["fitted"] == 0
