@@ -64,6 +64,26 @@ def build_tiled_index(
         level = max(1, min(12, int(math.ceil(math.log2(max(2.0, n / partition_size)) / 2))))
         part = MortonPartitioner(level=level)
         assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x", "y")))
+    elif scheme == "str":
+        # Sort-Tile-Recursive as two chained window ranks (pure JVM).  A
+        # global row_number is a sort-based materialization cost paid ONCE
+        # at build; probes never re-rank (they read cell_id).
+        from pyspark.sql.window import Window
+
+        from .operators.partitioning import STRPartitioner
+        slice_cap, leaf = STRPartitioner.plan(n, partition_size)
+        part = STRPartitioner(n=n, leaf=leaf, slice_cap=slice_cap, mbrs=[])
+        cells_per_slice = math.ceil(slice_cap / leaf)
+        w_x = Window.orderBy("x", "y", "url")
+        w_y = Window.partitionBy("slice_id").orderBy("y", "x", "url")
+        assigned = (points
+                    .withColumn("rank_x", F.row_number().over(w_x))
+                    .withColumn("slice_id", ((F.col("rank_x") - 1) / slice_cap).cast("bigint"))
+                    .withColumn("rank_y", F.row_number().over(w_y))
+                    .withColumn("cell_id",
+                                F.col("slice_id") * cells_per_slice
+                                + ((F.col("rank_y") - 1) / leaf).cast("bigint"))
+                    .drop("rank_x", "rank_y", "slice_id"))
     elif scheme in ("adaptive_grid", "kd_tree", "quadtree"):
         # tree/equi-depth schemes at production scale: splitter from a
         # BOUNDED deterministic sample (SURVEY.md §7.3(d)) — a hash-mod

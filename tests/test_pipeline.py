@@ -71,3 +71,17 @@ def test_build_tiled_index_tree_scheme_sampled(spark, tmp_path):
                                       scheme="quadtree", partition_size=200,
                                       build_sample_rows=500)
     assert res2["fitted"] == 0
+
+
+def test_build_tiled_index_str(spark, tmp_path):
+    pages_path = str(tmp_path / "pages_s")
+    out_root = str(tmp_path / "index_s")
+    datagen.pages_df(spark, 1500, partitions=3).write.parquet(pages_path)
+    res = pipeline.build_tiled_index(spark, pages_path, out_root,
+                                     scheme="str", partition_size=150)
+    tiled = spark.read.parquet(res["tiled_path"])
+    assert tiled.count() == 1500
+    # STR tiling: every cell holds at most `leaf` rows
+    from learnedspatial_spark.operators.partitioning import STRPartitioner
+    _, leaf = STRPartitioner.plan(1500, 150)
+    assert tiled.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0] <= leaf
