@@ -81,6 +81,23 @@ def main() -> None:
     engq.range_count(rects[:2]).collect()  # warm this scheme's probe path too
     timed("q_range_count_quadtree", lambda: engq.range_count(rects).collect())
 
+    # build-once/query-many: the materialized tiled index (partition-pruned
+    # scans, shuffle-free probes — PLANS.md "tiled range_count" section)
+    import shutil
+    import tempfile
+
+    from learnedspatial_spark.pipeline import build_tiled_index
+    from learnedspatial_spark.sources.points import points_df as _points_df
+    from learnedspatial_spark.tiled import TiledSpatialEngine
+    idx_root = os.path.join(tempfile.gettempdir(), f"lsp_bench_tiled_sf{sf}")
+    shutil.rmtree(idx_root, ignore_errors=True)
+    timed("build_tiled_materialize", lambda: build_tiled_index(
+        spark, None, idx_root, points_df=_points_df(spark, sf_dir),
+        partition_size=8000))
+    teng = TiledSpatialEngine(spark, idx_root)
+    teng.range_count(rects[:2]).collect()
+    timed("q_range_count_tiled", lambda: teng.range_count(rects).collect())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("q_dedup_exact", lambda: dedup.dedup_exact(docs).count())
     timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, broadcast_texts=True).count())

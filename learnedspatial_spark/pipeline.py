@@ -40,18 +40,26 @@ from .ops.lineage import RunLog, cell_metrics
 
 def build_tiled_index(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     out_root: str,
     scheme: str = "fixed_grid",
     partition_size: int = 1000,
     fit_batch_cells: int = 256,
     build_sample_rows: int = 250_000,
+    points_df: DataFrame | None = None,
 ) -> dict:
-    """Materialize the tiled point table + model table from a pages table,
-    resumable at cell granularity.  Returns a summary dict."""
+    """Materialize the tiled point table + model table from a pages table
+    (or any pre-derived point DataFrame with x/y + an id column via
+    ``points_df``), resumable at cell granularity.  Returns a summary."""
     log = RunLog(os.path.join(out_root, "_lineage"))
-    pages = spark.read.parquet(pages_path)
-    points = extract.points_from_pages(pages)
+    if points_df is not None:
+        points = points_df
+    else:
+        pages = spark.read.parquet(pages_path)
+        points = extract.points_from_pages(pages)
+    # a stable id column for deterministic tie-breaks (url for pages,
+    # pid for derived point tables)
+    id_col = next(c for c in points.columns if c not in ("x", "y"))
 
     # partitioner from one stats pass (closed-form schemes need only bbox +
     # count — no driver collect of data)
@@ -74,8 +82,8 @@ def build_tiled_index(
         slice_cap, leaf = STRPartitioner.plan(n, partition_size)
         part = STRPartitioner(n=n, leaf=leaf, slice_cap=slice_cap, mbrs=[])
         cells_per_slice = math.ceil(slice_cap / leaf)
-        w_x = Window.orderBy("x", "y", "url")
-        w_y = Window.partitionBy("slice_id").orderBy("y", "x", "url")
+        w_x = Window.orderBy("x", "y", id_col)
+        w_y = Window.partitionBy("slice_id").orderBy("y", "x", id_col)
         assigned = (points
                     .withColumn("rank_x", F.row_number().over(w_x))
                     .withColumn("slice_id", ((F.col("rank_x") - 1) / slice_cap).cast("bigint"))
@@ -93,7 +101,7 @@ def build_tiled_index(
         # boundaries differ from an exact build; query RESULTS never do
         # (routing + refine stay exact for any partitioning).
         k = max(1, n // build_sample_rows)
-        samp = (points.where(F.pmod(F.xxhash64("url"), F.lit(k)) == 0)
+        samp = (points.where(F.pmod(F.xxhash64(id_col), F.lit(k)) == 0)
                 .select("x", "y").collect())
         xs = np.asarray([r["x"] for r in samp])
         ys = np.asarray([r["y"] for r in samp])
@@ -155,7 +163,7 @@ def build_tiled_index(
     cell_metrics(tiled).write.mode("overwrite").parquet(stats_path)
     run_id = log.record_run(
         "build_tiled_index", part.to_spec(),
-        inputs={"pages": pages_path, "rows": n},
+        inputs={"pages": pages_path or "<points_df>", "rows": n},
         extra={"cells": len(cells), "fitted_this_run": fitted, "scheme": scheme})
     return {"run_id": run_id, "rows": n, "cells": len(cells), "fitted": fitted,
             "tiled_path": tiled_path, "model_path": model_path}

@@ -85,3 +85,40 @@ def test_build_tiled_index_str(spark, tmp_path):
     from learnedspatial_spark.operators.partitioning import STRPartitioner
     _, leaf = STRPartitioner.plan(1500, 150)
     assert tiled.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0] <= leaf
+
+
+def test_tiled_engine_query_parity(spark, tmp_path):
+    """Build-once/query-many: TiledSpatialEngine over the materialized
+    index matches the flat full-scan filter, learned == binsearch, and the
+    scan prunes partitions (PartitionFilters on cell_id)."""
+    pages_path = str(tmp_path / "pages_q")
+    out_root = str(tmp_path / "index_q")
+    datagen.pages_df(spark, 4000, partitions=4).write.parquet(pages_path)
+    pipeline.build_tiled_index(spark, pages_path, out_root, partition_size=250)
+
+    from learnedspatial_spark import extract
+    from learnedspatial_spark.tiled import TiledSpatialEngine
+    eng = TiledSpatialEngine(spark, out_root)
+    rects = [(0, -60.0, -120.0, 30.0, 45.0), (1, 10.0, 10.0, 11.0, 12.0),
+             (2, -90.0, -180.0, 90.0, 180.0), (3, 50.0, 50.0, 40.0, 60.0)]
+    flat = extract.points_from_pages(spark.read.parquet(pages_path))
+    want = {}
+    for (qid, fx, fy, tx, ty) in rects:
+        want[qid] = flat.where((F.col("x") >= fx) & (F.col("x") <= tx)
+                               & (F.col("y") >= fy) & (F.col("y") <= ty)).count()
+    got_l = {r["query_id"]: r["cnt"] for r in eng.range_count(rects, refine="learned").collect()}
+    got_b = {r["query_id"]: r["cnt"] for r in eng.range_count(rects, refine="binsearch").collect()}
+    assert got_l == want and got_b == want
+
+    rows = eng.range_materialize(rects[:2]).collect()
+    n0 = sum(1 for r in rows if r["query_id"] == 0)
+    assert n0 == want[0]
+
+    # partition pruning visible in the physical plan
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    cells = eng.partitioner.cells_for_rect(*rects[1][1:])
+    with redirect_stdout(buf):
+        eng._pruned_scan([int(c) for c in cells]).explain(True)
+    assert "PartitionFilters" in buf.getvalue()
