@@ -123,6 +123,189 @@ class TiledSpatialEngine:
                 .select("query_id",
                         F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")))
 
+    def point_lookup(self, pts: list[tuple]) -> DataFrame:
+        """Q3 fetch-one over the materialized index — entirely JVM: pruned
+        scan, broadcast equality join, min(pid-analog id) canonicalization.
+        Output (query_id, pid) with -1 for misses; requires a pid column in
+        the tiled table (derived-point indexes)."""
+        qrows = []
+        cells = set()
+        for (qid, qx, qy) in pts:
+            for c in self.partitioner.cells_for_rect(qx, qy, qx, qy):
+                qrows.append((qid, float(qx), float(qy), int(c)))
+                cells.add(int(c))
+        qdf = self.spark.createDataFrame(
+            qrows, "query_id bigint, qx double, qy double, cell_id bigint")
+        hit = (self._pruned_scan(sorted(cells))
+               .join(F.broadcast(qdf), "cell_id")
+               .where((F.col("x") == F.col("qx")) & (F.col("y") == F.col("qy")))
+               .groupBy("query_id").agg(F.min("pid").alias("pid")))
+        alldf = self.spark.createDataFrame([(q[0],) for q in pts], "query_id bigint")
+        return alldf.join(hit, "query_id", "left").select(
+            "query_id", F.coalesce(F.col("pid"), F.lit(-1)).cast("bigint").alias("pid"))
+
+    def distance_count(self, circles: list[tuple]) -> DataFrame:
+        """Q4 radius count over the materialized index: Matuschek bbox ->
+        pruned scan, haversine refine in-place (same semantics as
+        SpatialEngine.distance_count)."""
+        import math as _math
+
+        from .functions import geo
+        qids = [c[0] for c in circles]
+        latr = np.asarray([(c[1] / 180.0) * _math.pi for c in circles])
+        lonr = np.asarray([(c[2] / 180.0) * _math.pi for c in circles])
+        rad = np.asarray([c[3] for c in circles])
+        mnla, mxla, mnlo, mxlo = geo.circle_bbox_radians_np(latr, lonr, rad)
+        r2d = 180.0 / _math.pi
+        cellmap: dict[int, list[int]] = {}
+        for i in range(len(circles)):
+            fx = float(np.nextafter(mnla[i] * r2d, -np.inf))
+            tx = float(np.nextafter(mxla[i] * r2d, np.inf))
+            fy = float(np.nextafter(mnlo[i] * r2d, -np.inf))
+            ty = float(np.nextafter(mxlo[i] * r2d, np.inf))
+            for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
+                cellmap.setdefault(int(c), []).append(i)
+        qlat = np.asarray([c[1] for c in circles])
+        qlon = np.asarray([c[2] for c in circles])
+        qid_arr = np.asarray(qids, dtype=np.int64)
+
+        def probe(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for cell, grp in pdf.groupby("cell_id", sort=False):
+                    qidx = cellmap.get(int(cell))
+                    if not qidx:
+                        continue
+                    xr = (grp["x"].to_numpy() / 180.0) * _math.pi
+                    yr = (grp["y"].to_numpy() / 180.0) * _math.pi
+                    qi = np.asarray(qidx, dtype=np.int64)
+                    cnt = np.empty(qi.shape[0], dtype=np.int64)
+                    for j, t in enumerate(qi):
+                        u = np.sin((xr - qlat[t] / 180.0 * _math.pi) / 2.0)
+                        v = np.sin((yr - qlon[t] / 180.0 * _math.pi) / 2.0)
+                        s = np.sqrt(u * u + np.cos(qlat[t] / 180.0 * _math.pi) * np.cos(xr) * v * v)
+                        d = 2.0 * 6378137.0 * np.arcsin(np.clip(s, 0.0, 1.0))
+                        cnt[j] = np.count_nonzero(d <= rad[t])
+                    yield pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
+
+        parts = self._pruned_scan(list(cellmap)).mapInPandas(
+            probe, schema="query_id bigint, cnt bigint")
+        agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
+        qdf = self.spark.createDataFrame([(q,) for q in qids], "query_id bigint")
+        return qdf.join(agg, "query_id", "left").select(
+            "query_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+
+    def pip(self, polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
+        """Q5 point-in-polygon counts over the materialized index: polygon
+        bbox -> candidate cells -> pruned scan -> exact ray cast in place."""
+        from oracle.oracle import ray_cast_inside
+        polymap: dict[int, list[int]] = {}
+        for gid, (vx, vy) in polygons.items():
+            bb = (min(vx), min(vy), max(vx), max(vy))
+            for c in self.partitioner.cells_for_rect(*bb):
+                polymap.setdefault(int(c), []).append(gid)
+        polys = {gid: (np.asarray(vx), np.asarray(vy)) for gid, (vx, vy) in polygons.items()}
+
+        def probe(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for cell, grp in pdf.groupby("cell_id", sort=False):
+                    gids = polymap.get(int(cell))
+                    if not gids:
+                        continue
+                    px = grp["x"].to_numpy()
+                    py = grp["y"].to_numpy()
+                    out_g, out_c = [], []
+                    for gid in gids:
+                        vx, vy = polys[gid]
+                        bb = ((px >= vx.min()) & (px <= vx.max())
+                              & (py >= vy.min()) & (py <= vy.max()))
+                        cand = np.flatnonzero(bb)
+                        n_in = int(ray_cast_inside(px[cand], py[cand], vx, vy).sum()) if cand.size else 0
+                        out_g.append(gid)
+                        out_c.append(n_in)
+                    yield pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
+                                        "cnt": np.asarray(out_c, dtype=np.int64)})
+
+        parts = self._pruned_scan(list(polymap)).mapInPandas(
+            probe, schema="polygon_id bigint, cnt bigint")
+        agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))
+        gdf = self.spark.createDataFrame([(g,) for g in polygons], "polygon_id bigint")
+        return gdf.join(agg, "polygon_id", "left").select(
+            "polygon_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+
+    def knn(self, queries: list[tuple]) -> DataFrame:
+        """kNN over the materialized index: cell stats from the persisted
+        stats table drive the same exact pruning as SpatialEngine.knn; the
+        per-cell top-k partials come from the pruned scan, the per-query
+        merge is the one small shuffle."""
+        stats = self.spark.read.parquet(os.path.join(self.root, "cell_stats")).collect()
+        ids = np.asarray([r["cell_id"] for r in stats], dtype=np.int64)
+        minx = np.asarray([r["minx"] for r in stats])
+        miny = np.asarray([r["miny"] for r in stats])
+        maxx = np.asarray([r["maxx"] for r in stats])
+        maxy = np.asarray([r["maxy"] for r in stats])
+        count = np.asarray([r["rows_in_cell"] for r in stats], dtype=np.int64)
+        cellmap: dict[int, list[int]] = {}
+        for qi_i, (qid, qx, qy, k) in enumerate(queries):
+            dx = np.maximum(np.maximum(minx - qx, qx - maxx), 0.0)
+            dy = np.maximum(np.maximum(miny - qy, qy - maxy), 0.0)
+            dmin = dx * dx + dy * dy
+            ex = np.maximum(np.abs(qx - minx), np.abs(qx - maxx))
+            ey = np.maximum(np.abs(qy - miny), np.abs(qy - maxy))
+            dmax = ex * ex + ey * ey
+            order = np.argsort(dmin, kind="stable")
+            cum = np.cumsum(count[order])
+            need = min(int(np.searchsorted(cum, k)) + 1, order.shape[0])
+            R = float(dmax[order[:need]].max())
+            for c in ids[dmin <= R]:
+                cellmap.setdefault(int(c), []).append(qi_i)
+        qarr = np.asarray([[q[1], q[2], q[3]] for q in queries], dtype=np.float64)
+        qid_arr = np.asarray([q[0] for q in queries], dtype=np.int64)
+
+        def probe(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for cell, grp in pdf.groupby("cell_id", sort=False):
+                    qidx = cellmap.get(int(cell))
+                    if not qidx:
+                        continue
+                    xs = grp["x"].to_numpy(); ys = grp["y"].to_numpy()
+                    pids = grp["pid"].to_numpy()
+                    for t in np.asarray(qidx, dtype=np.int64):
+                        k_i = min(int(qarr[t, 2]), xs.shape[0])
+                        d2 = (xs - qarr[t, 0]) ** 2 + (ys - qarr[t, 1]) ** 2
+                        if k_i < xs.shape[0]:
+                            part = np.argpartition(d2, k_i - 1)[:k_i]
+                            kth = d2[part].max()
+                        else:
+                            kth = np.inf
+                        cand = np.flatnonzero(d2 <= kth)
+                        sel = cand[np.lexsort((pids[cand], ys[cand], xs[cand], d2[cand]))][:k_i]
+                        yield pd.DataFrame({
+                            "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
+                            "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]})
+
+        parts = self._pruned_scan(list(cellmap)).mapInPandas(
+            probe, schema="query_id bigint, pid bigint, d2 double, px double, py double")
+        kmap = {int(q[0]): int(q[3]) for q in queries}
+
+        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            k = kmap.get(qid, 0)
+            order = np.lexsort((pdf["pid"].to_numpy(), pdf["py"].to_numpy(),
+                                pdf["px"].to_numpy(), pdf["d2"].to_numpy()))[:k]
+            return pd.DataFrame({
+                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
+                "rnk": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+                "pid": pdf["pid"].to_numpy()[order]})
+
+        return parts.groupBy("query_id").applyInPandas(
+            merge, schema="query_id bigint, rnk bigint, pid bigint")
+
     def range_materialize(self, rects: list[tuple], refine: str = "learned") -> DataFrame:
         """(query_id, url, x, y) hit rows, shuffle-free (no aggregation at
         all: the output IS the probe output)."""

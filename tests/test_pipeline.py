@@ -122,3 +122,41 @@ def test_tiled_engine_query_parity(spark, tmp_path):
     with redirect_stdout(buf):
         eng._pruned_scan([int(c) for c in cells]).explain(True)
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_tiled_engine_full_query_surface(spark, tmp_path):
+    """Every query type over the materialized index == the in-session
+    engine on the same derived point table (which is itself
+    oracle-checked): point lookup, distance, PIP, kNN."""
+    from learnedspatial_spark.engine import SpatialEngine
+    from learnedspatial_spark.sources import workloads as wl
+    from learnedspatial_spark.sources.points import points_df, points_np
+    from learnedspatial_spark.tiled import TiledSpatialEngine
+
+    sf = "/root/testdata/sf0.001"
+    out_root = str(tmp_path / "index_full")
+    pipeline.build_tiled_index(spark, None, out_root,
+                               points_df=points_df(spark, sf), partition_size=500)
+    teng = TiledSpatialEngine(spark, out_root)
+    eng = SpatialEngine(spark, sf, scheme="fixed_grid", partition_size=500)
+
+    pid, x, y = points_np(sf)
+    pts = wl.point_queries(x, y, n_hits=10, n_misses=5)
+    a = sorted(tuple(r) for r in teng.point_lookup(pts).collect())
+    b = sorted(tuple(r) for r in eng.point_lookup(pts).collect())
+    assert a == b
+
+    circles = wl.distance_queries(n=12)
+    a = sorted(tuple(r) for r in teng.distance_count(circles).collect())
+    b = sorted(tuple(r) for r in eng.distance_count(circles).collect())
+    assert a == b
+
+    polys = wl.polygons(n=8)
+    a = sorted(tuple(r) for r in teng.pip(polys).collect())
+    b = sorted(tuple(r) for r in eng.pip(polys).collect())
+    assert a == b
+
+    knnq = wl.knn_queries(n=8)
+    a = sorted(tuple(r) for r in teng.knn(knnq).collect())
+    b = sorted(tuple(r) for r in eng.knn(knnq).collect())
+    assert a == b
