@@ -138,6 +138,35 @@ def _polygon_tiles(spark, sf_dir):
     return eng.polygon_tiles(_polys())
 
 
+_TILED_ROOTS: dict[str, str] = {}
+
+
+def _tiled_engine(spark, sf_dir):
+    """Build (once per sf_dir, memoized) and open the materialized tiled
+    index — the production build-once/query-many path inside the graded
+    contract."""
+    import tempfile
+
+    from .pipeline import build_tiled_index
+    from .sources.points import points_df
+    from .tiled import TiledSpatialEngine
+    root = _TILED_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lsp_contract_tiled_")
+        build_tiled_index(spark, None, root, points_df=points_df(spark, sf_dir),
+                          partition_size=1000)
+        _TILED_ROOTS[sf_dir] = root
+    return TiledSpatialEngine(spark, root)
+
+
+def _range_count_tiled(spark, sf_dir):
+    return _tiled_engine(spark, sf_dir).range_count(_rects())
+
+
+def _knn_tiled(spark, sf_dir):
+    return _tiled_engine(spark, sf_dir).knn(_knnq())
+
+
 def _dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -332,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["distance_materialize"] = _distance_materialize
     out["point_lookup_quadtree"] = _point_lookup_quadtree
     out["range_count_fixed_grid_salted"] = _range_count_salted
+    out["range_count_tiled"] = _range_count_tiled
+    out["knn_tiled"] = _knn_tiled
     out["pip_count"] = _pip_count
     out["pip_pairs"] = _pip_pairs
     out["knn"] = _knn
@@ -562,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
     out["point_lookup"] = _point_lookup_sql()
     out["point_lookup_quadtree"] = _point_lookup_sql()
     out["range_count_fixed_grid_salted"] = rc
+    out["range_count_tiled"] = rc
+    out["knn_tiled"] = _knn_sql()
     out["distance_count"] = _distance_count_sql()
     out["distance_materialize"] = _distance_materialize_sql()
     out["pip_count"] = _pip_count_sql()
