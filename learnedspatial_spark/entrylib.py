@@ -303,6 +303,15 @@ def _cells_touched(spark, sf_dir):
     return spark.createDataFrame(rows, "query_id bigint, cells bigint")
 
 
+def _points_decimated(spark, sf_dir):
+    """P6 modulo decimation (FilterPoints, src/main.cpp:296-309) as a real
+    operator: keep every Nth point by the stable pid (the reference keeps
+    every Nth by file position; pid is the distributed-stable analog)."""
+    from .engine import SpatialEngine
+    eng = SpatialEngine(spark, sf_dir)
+    return eng.points().where(F.col("pid") % 10 == 0).select("pid", "x", "y")
+
+
 def _scan_overhead(spark, sf_dir):
     """O12 PRINT_STATS instrumentation as data (src/main.cpp:161-186,
     Spline.hpp:461-517): per query, ``scanned`` = points in the routed
@@ -380,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bbox"] = _bbox
     out["cells_touched_fixed_grid"] = _cells_touched
     out["scan_overhead_fixed_grid"] = _scan_overhead
+    out["points_decimated"] = _points_decimated
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["simhash_table"] = _simhash
     out["simhash_md5_table"] = _simhash_md5
@@ -640,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         f"count(case when {in_cells} AND {in_y} then 1 end) - "
         f"count(case when {in_cells} AND {in_y} AND {in_x} then 1 end) AS wrongly_scanned "
         f"FROM {_rect_values()} CROSS JOIN points p GROUP BY t.query_id")
+    out["points_decimated"] = (
+        f"WITH {POINTS_CTE} SELECT pid, x, y FROM points WHERE pid % 10 = 0")
     out["multimodal_resize"] = (
         "WITH m AS (SELECT doc_id, cast(doc_id % 640 + 1 as int) AS w, "
         "cast(doc_id % 480 + 1 as int) AS h FROM documents WHERE doc_id % 3 = 0), "

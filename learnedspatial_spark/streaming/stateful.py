@@ -43,6 +43,38 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
     state.update((list(seen),))
 
 
+ROLLING_OUTPUT_SCHEMA = "cell_id bigint, batch_rows bigint, total_rows bigint"
+ROLLING_STATE_SCHEMA = "total bigint"
+
+
+def _rolling_fn(key, pdf_iter, state: GroupState):
+    total = state.get[0] if state.exists else 0
+    batch = 0
+    for pdf in pdf_iter:
+        batch += len(pdf)
+    total += batch
+    state.update((total,))
+    yield pd.DataFrame({"cell_id": [int(key[0])],
+                        "batch_rows": [batch], "total_rows": [total]})
+
+
+def rolling_tile_counts(points_with_cells: DataFrame) -> DataFrame:
+    """Per-tile ROLLING point counts: each micro-batch emits (cell_id,
+    batch_rows, total_rows-so-far).  The freshness/monitoring companion to
+    the windowed counts — state is one counter per tile (bounded by
+    #cells, the same O(#cells) budget as the model/stats tables), so it
+    runs at any corpus scale.  Second ``applyInPandasWithState`` surface
+    next to the first-seen dedup above."""
+    return (points_with_cells.groupBy("cell_id")
+            .applyInPandasWithState(
+                _rolling_fn,
+                outputStructType=ROLLING_OUTPUT_SCHEMA,
+                stateStructType=ROLLING_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
 def dedup_stream(points: DataFrame) -> DataFrame:
     """points stream (url, warc_ts, x, y) -> first-seen rows only.
 

@@ -122,3 +122,38 @@ def test_streaming_tree_scheme_tile_parity(spark, tmp_path):
     want = {u: int(c) for u, c in zip(urls, part.assign_np(ux, uy))}
     assert len(got) == 300
     assert got == want
+
+
+def test_stateful_rolling_tile_counts(spark, tmp_path):
+    """Rolling per-tile counts accumulate across micro-batches: the final
+    total per cell equals the batch-wide count, and totals are monotone."""
+    import glob
+    import shutil
+
+    from learnedspatial_spark.operators.partitioning import FixedGridPartitioner
+    from learnedspatial_spark.streaming import ingest, stateful
+
+    src = str(tmp_path / "roll_pages")
+    datagen.pages_df(spark, 300, partitions=3).write.parquet(src)
+    part = FixedGridPartitioner(xmin=-90.0, xmax=90.0, n_cells=6)
+    stream = ingest.read_pages_stream(spark, src, max_files=1)  # multi-batch
+    assigned = ingest.assign_tiles_stream(ingest.extract_points_stream(stream), part)
+    rolled = stateful.rolling_tile_counts(assigned)
+    q = (rolled.writeStream.format("memory").queryName("rolling_counts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rolling_counts").collect()
+    # final totals == batch counts
+    batch_assigned = ingest.assign_tiles_stream(
+        ingest.extract_points_stream(spark.read.parquet(src)), part)
+    want = {r["cell_id"]: r["count"] for r in batch_assigned.groupBy("cell_id").count().collect()}
+    got_final = {}
+    for r in rows:
+        got_final[r["cell_id"]] = max(got_final.get(r["cell_id"], 0), r["total_rows"])
+    assert got_final == want
+    # totals never decrease and batch_rows sum to total
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for cid, rs in by_cell.items():
+        assert sum(x["batch_rows"] for x in rs) == want[cid]
