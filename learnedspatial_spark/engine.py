@@ -312,6 +312,8 @@ class SpatialEngine:
         else:
             schema = "query_id bigint, cnt bigint"
 
+        from .operators import probes
+
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
             qidx = cellmap.get(cell)
@@ -319,53 +321,32 @@ class SpatialEngine:
                                   for c in schema.split(", ")})
             if not qidx:
                 return empty
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            pids = pdf["pid"].to_numpy()
-            order = np.lexsort((xs, ys))  # sort by (y, x) — SortPointsY analog
-            xs, ys, pids = xs[order], ys[order], pids[order]
+            order, xs, ys = probes.sort_cell(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+            pids = pdf["pid"].to_numpy()[order]
             n = xs.shape[0]
             qi = np.asarray(qidx, dtype=np.int64)
             fx, fy, tx, ty = q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3]
-            cminx, cmaxx = xs.min(), xs.max()
-            cminy, cmaxy = ys.min(), ys.max()
-            # O4 fully-outside-y shortcut (Spline.hpp:62-64) folded into the
-            # bound computation; O3 fully-contained shortcut (Spline.hpp:67-75):
-            contained = (fx <= cminx) & (tx >= cmaxx) & (fy <= cminy) & (ty >= cmaxy)
-            use_learned = refine == "learned" and n > spl.LINEAR_SCAN_THRESHOLD
-            if use_learned:
+            knots = None
+            if refine == "learned" and n > spl.LINEAR_SCAN_THRESHOLD:
                 pre = models.get(cell) if models is not None else None
                 if pre is not None:
-                    kk, kp = pre
+                    knots = pre
                 else:
                     keys, pos = spl.build_cdf(ys)
-                    kk, kp = spl.fit_spline(keys, pos.astype(np.float64))
-                lo = spl.learned_searchsorted(ys, kk, kp, fy, "left")
-                hi = spl.learned_searchsorted(ys, kk, kp, ty, "right")
-            else:
-                lo = np.searchsorted(ys, fy, side="left")
-                hi = np.searchsorted(ys, ty, side="right")
+                    knots = spl.fit_spline(keys, pos.astype(np.float64))
             if materialize:
+                contained = probes.contained_mask(xs, ys, fx, fy, tx, ty)
+                lo, hi = probes.range_bounds(ys, fy, ty, knots)
                 frames = []
                 for j in range(qi.shape[0]):
-                    if contained[j]:
-                        sel = np.arange(n)
-                    else:
-                        s = slice(lo[j], hi[j])
-                        sel = np.flatnonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j])) + lo[j]
+                    sel = probes.range_select_cell(xs, ys, fx, fy, tx, ty, j, lo, hi, contained)
                     if sel.size:
                         frames.append(pd.DataFrame({
                             "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
                             "pid": pids[sel], "x": xs[sel], "y": ys[sel],
                         }))
                 return pd.concat(frames) if frames else empty
-            cnt = np.empty(qi.shape[0], dtype=np.int64)
-            for j in range(qi.shape[0]):
-                if contained[j]:
-                    cnt[j] = n
-                else:
-                    s = slice(lo[j], hi[j])
-                    cnt[j] = np.count_nonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j]))
+            cnt = probes.range_count_cell(xs, ys, fx, fy, tx, ty, knots)
             return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
         gdf, keys = self._probe_groups()
@@ -454,6 +435,8 @@ class SpatialEngine:
         schema = ("query_id bigint, pid bigint" if materialize
                   else "query_id bigint, cnt bigint")
 
+        from .operators import probes
+
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
             qidx = cellmap.get(cell)
@@ -461,24 +444,22 @@ class SpatialEngine:
                 return pd.DataFrame({
                     "query_id": pd.Series(dtype="int64"),
                     ("pid" if materialize else "cnt"): pd.Series(dtype="int64")})
-            # deg2rad exactly as the reference: (deg / 180) * pi
-            xr = (pdf["x"].to_numpy() / 180.0) * math.pi
-            yr = (pdf["y"].to_numpy() / 180.0) * math.pi
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
             qi = np.asarray(qidx, dtype=np.int64)
             if materialize:
                 pids = pdf["pid"].to_numpy()
                 out_q, out_p = [], []
                 for t in qi:
-                    d = _hav(qlat[t] / 180.0 * math.pi, qlon[t] / 180.0 * math.pi, xr, yr)
-                    hit = pids[d <= qrad[t]]
+                    hit = pids[probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], qrad[t])]
                     out_q.append(np.full(hit.shape[0], qid_arr[t], dtype=np.int64))
                     out_p.append(hit)
                 return pd.DataFrame({"query_id": np.concatenate(out_q),
                                      "pid": np.concatenate(out_p)})
             cnt = np.empty(qi.shape[0], dtype=np.int64)
             for j, t in enumerate(qi):
-                d = _hav(qlat[t] / 180.0 * math.pi, qlon[t] / 180.0 * math.pi, xr, yr)
-                cnt[j] = np.count_nonzero(d <= qrad[t])
+                cnt[j] = np.count_nonzero(
+                    probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], qrad[t]))
             return pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
         gdf, keys = self._probe_groups()
@@ -520,14 +501,14 @@ class SpatialEngine:
             py = pdf["y"].to_numpy()
             pids = pdf["pid"].to_numpy()
             out_g, out_v = [], []
+            from .operators import probes
             for gid in gids:
                 vx, vy = polys[gid]
                 # filter stage (the reference's LookUp(polygon.box),
                 # src/main.cpp:473): bbox mask before the ray-cast refine —
                 # points outside the bbox are never inside, so this is
                 # result-identical and cuts the N x E work ~10-20x
-                bb = (px >= vx.min()) & (px <= vx.max()) & (py >= vy.min()) & (py <= vy.max())
-                cand = np.flatnonzero(bb)
+                cand = np.flatnonzero(probes.pip_candidates(px, py, vx, vy))
                 inside = np.zeros(px.shape[0], dtype=bool)
                 if cand.size:
                     inside[cand] = ray_cast_inside(px[cand], py[cand], vx, vy)
@@ -587,22 +568,12 @@ class SpatialEngine:
                 return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "pid": pd.Series(dtype="int64"),
                                      "d2": pd.Series(dtype="float64"), "px": pd.Series(dtype="float64"),
                                      "py": pd.Series(dtype="float64")})
+            from .operators import probes
             xs = pdf["x"].to_numpy(); ys = pdf["y"].to_numpy(); pids = pdf["pid"].to_numpy()
             qi = np.asarray(qidx, dtype=np.int64)
-            # one vectorized distance matrix for all queries touching this
-            # cell; local top-k via argpartition (k << cell size), exact
-            # tie-break only within the k candidates
-            d2m = (xs[None, :] - qarr[qi, 0][:, None]) ** 2 + (ys[None, :] - qarr[qi, 1][:, None]) ** 2
             frames = []
-            for row, t in enumerate(qi):
-                k_i = min(int(qarr[t, 2]), xs.shape[0])
-                d2 = d2m[row]
-                part = np.argpartition(d2, k_i - 1)[:k_i] if k_i < xs.shape[0] else np.arange(xs.shape[0])
-                # ties at the k-th distance: widen to all points with
-                # d2 <= kth so the (d2,x,y,pid) order stays globally exact
-                kth = d2[part].max()
-                cand = np.flatnonzero(d2 <= kth)
-                sel = cand[np.lexsort((pids[cand], ys[cand], xs[cand], d2[cand]))][:k_i]
+            for t in qi:
+                sel, d2 = probes.knn_local_topk(xs, ys, pids, qarr[t, 0], qarr[t, 1], qarr[t, 2])
                 frames.append(pd.DataFrame({
                     "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
                     "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]}))
@@ -650,10 +621,3 @@ class SpatialEngine:
             for c in self.partitioner.cells_for_rect(min(vx), min(vy), max(vx), max(vy)):
                 rows.append((gid, int(c)))
         return self.spark.createDataFrame(rows, "polygon_id bigint, cell_id bigint")
-
-
-def _hav(lat1r, lon1r, lat2r, lon2r):
-    u = np.sin((lat2r - lat1r) / 2.0)
-    v = np.sin((lon2r - lon1r) / 2.0)
-    s = np.sqrt(u * u + np.cos(lat1r) * np.cos(lat2r) * v * v)
-    return 2.0 * 6378137.0 * np.arcsin(np.clip(s, 0.0, 1.0))

@@ -1,0 +1,115 @@
+"""Shared per-cell probe kernels (pure NumPy, no Spark).
+
+Both execution engines — the in-session ``SpatialEngine`` (one cell-keyed
+shuffle, ``applyInPandas`` per cell) and the materialized
+``TiledSpatialEngine`` (partition-pruned scan, ``mapInPandas`` per
+cell-local batch) — refine candidates with THESE kernels, so the two paths
+cannot drift semantically.  Semantics mirror the reference cells
+(include/partition_cells/*, SURVEY.md §2.5): inclusive bounds, (y, x) sort
+order, fully-contained short-circuit, learned-vs-binary-search refinement
+returning identical rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import spline as spl
+
+EARTH_R_M = 6378137.0  # include/queries/distance.h:8
+
+
+def deg2rad(a):
+    """EXACTLY the reference's conversion (Utils.hpp:84-97): (deg/180)*pi —
+    NOT deg*(pi/180), which differs in the last ulp and can flip inclusive
+    <=radius boundary cases against the SQL oracle."""
+    return (a / 180.0) * np.pi
+
+
+def sort_cell(xs: np.ndarray, ys: np.ndarray):
+    """(y, x) cell order (SortPointsY analog) -> (order, xs_sorted, ys_sorted)."""
+    order = np.lexsort((xs, ys))
+    return order, xs[order], ys[order]
+
+
+def range_bounds(ys_sorted: np.ndarray, fy: np.ndarray, ty: np.ndarray,
+                 knots: tuple[np.ndarray, np.ndarray] | None):
+    """Per-query [lo, hi) candidate run over the y-sorted cell — learned
+    spline estimate + bounded repair when ``knots`` given, plain binary
+    search otherwise.  Result-identical either way."""
+    if knots is not None and ys_sorted.shape[0] > spl.LINEAR_SCAN_THRESHOLD:
+        kk, kp = knots
+        lo = spl.learned_searchsorted(ys_sorted, kk, kp, fy, "left")
+        hi = spl.learned_searchsorted(ys_sorted, kk, kp, ty, "right")
+    else:
+        lo = np.searchsorted(ys_sorted, fy, side="left")
+        hi = np.searchsorted(ys_sorted, ty, side="right")
+    return lo, hi
+
+
+def contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty) -> np.ndarray:
+    """O3 fully-contained-cell shortcut (Spline.hpp:67-75)."""
+    return ((fx <= xs_sorted.min()) & (tx >= xs_sorted.max())
+            & (fy <= ys_sorted.min()) & (ty >= ys_sorted.max()))
+
+
+def range_count_cell(xs_sorted, ys_sorted, fx, fy, tx, ty,
+                     knots=None) -> np.ndarray:
+    """Q2 per-query hit counts in one cell (arrays over queries)."""
+    n = ys_sorted.shape[0]
+    contained = contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty)
+    lo, hi = range_bounds(ys_sorted, fy, ty, knots)
+    cnt = np.empty(fx.shape[0], dtype=np.int64)
+    for j in range(fx.shape[0]):
+        if contained[j]:
+            cnt[j] = n
+        else:
+            s = slice(lo[j], hi[j])
+            cnt[j] = np.count_nonzero((xs_sorted[s] >= fx[j]) & (xs_sorted[s] <= tx[j]))
+    return cnt
+
+
+def range_select_cell(xs_sorted, ys_sorted, fx, fy, tx, ty, j,
+                      lo, hi, contained) -> np.ndarray:
+    """Q1 selected sorted-order indices for query j (materializing form)."""
+    if contained[j]:
+        return np.arange(ys_sorted.shape[0])
+    s = slice(lo[j], hi[j])
+    return np.flatnonzero((xs_sorted[s] >= fx[j]) & (xs_sorted[s] <= tx[j])) + lo[j]
+
+
+def haversine_m(lat1r, lon1r, lat2r, lon2r):
+    """Great-circle meters, reference formula (distance.h:25-45)."""
+    u = np.sin((lat2r - lat1r) / 2.0)
+    v = np.sin((lon2r - lon1r) / 2.0)
+    s = np.sqrt(u * u + np.cos(lat1r) * np.cos(lat2r) * v * v)
+    return 2.0 * EARTH_R_M * np.arcsin(np.clip(s, 0.0, 1.0))
+
+
+def distance_mask_cell(xs_deg, ys_deg, qlat_deg, qlon_deg, radius_m) -> np.ndarray:
+    """Q4 refine for ONE query over a cell: haversine(radians) <= r
+    (inclusive), radians derived exactly as the reference: (deg/180)*pi."""
+    d = haversine_m(deg2rad(qlat_deg), deg2rad(qlon_deg),
+                    deg2rad(xs_deg), deg2rad(ys_deg))
+    return d <= radius_m
+
+
+def pip_candidates(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Q5 filter stage: polygon-bbox mask (the LookUp(polygon.box) analog)."""
+    return ((px >= vx.min()) & (px <= vx.max())
+            & (py >= vy.min()) & (py <= vy.max()))
+
+
+def knn_local_topk(xs, ys, pids, qx, qy, k) -> np.ndarray:
+    """Per-cell exact top-k candidate indices with the engine's total order
+    (d2, x, y, pid); ties at the k-th distance widened before the lexsort
+    so the global merge stays exact."""
+    k_i = min(int(k), xs.shape[0])
+    d2 = (xs - qx) ** 2 + (ys - qy) ** 2
+    if k_i < xs.shape[0]:
+        part = np.argpartition(d2, k_i - 1)[:k_i]
+        kth = d2[part].max()
+    else:
+        kth = np.inf
+    cand = np.flatnonzero(d2 <= kth)
+    return cand[np.lexsort((pids[cand], ys[cand], xs[cand], d2[cand]))][:k_i], d2

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import probes
 from .operators import spline as spl
 from .operators.partitioning import Partitioner
 
@@ -90,29 +91,11 @@ class TiledSpatialEngine:
                     qidx = cellmap.get(int(cell))
                     if not qidx:
                         continue
-                    ys = np.sort(grp["y"].to_numpy())
-                    xs_u = grp["x"].to_numpy()
-                    order = np.lexsort((xs_u, grp["y"].to_numpy()))
-                    xs = xs_u[order]
+                    _, xs, ys = probes.sort_cell(grp["x"].to_numpy(), grp["y"].to_numpy())
                     qi = np.asarray(qidx, dtype=np.int64)
-                    fx, fy, tx, ty = q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3]
-                    contained = ((fx <= xs.min()) & (tx >= xs.max())
-                                 & (fy <= ys.min()) & (ty >= ys.max()))
-                    pre = models_bc.value.get(int(cell)) if models_bc is not None else None
-                    if pre is not None and ys.shape[0] > spl.LINEAR_SCAN_THRESHOLD:
-                        kk, kp = pre
-                        lo = spl.learned_searchsorted(ys, kk, kp, fy, "left")
-                        hi = spl.learned_searchsorted(ys, kk, kp, ty, "right")
-                    else:
-                        lo = np.searchsorted(ys, fy, side="left")
-                        hi = np.searchsorted(ys, ty, side="right")
-                    cnt = np.empty(qi.shape[0], dtype=np.int64)
-                    for j in range(qi.shape[0]):
-                        if contained[j]:
-                            cnt[j] = ys.shape[0]
-                        else:
-                            s = slice(lo[j], hi[j])
-                            cnt[j] = np.count_nonzero((xs[s] >= fx[j]) & (xs[s] <= tx[j]))
+                    knots = models_bc.value.get(int(cell)) if models_bc is not None else None
+                    cnt = probes.range_count_cell(
+                        xs, ys, q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3], knots)
                     yield pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
@@ -177,16 +160,13 @@ class TiledSpatialEngine:
                     qidx = cellmap.get(int(cell))
                     if not qidx:
                         continue
-                    xr = (grp["x"].to_numpy() / 180.0) * _math.pi
-                    yr = (grp["y"].to_numpy() / 180.0) * _math.pi
+                    xs = grp["x"].to_numpy()
+                    ys = grp["y"].to_numpy()
                     qi = np.asarray(qidx, dtype=np.int64)
                     cnt = np.empty(qi.shape[0], dtype=np.int64)
                     for j, t in enumerate(qi):
-                        u = np.sin((xr - qlat[t] / 180.0 * _math.pi) / 2.0)
-                        v = np.sin((yr - qlon[t] / 180.0 * _math.pi) / 2.0)
-                        s = np.sqrt(u * u + np.cos(qlat[t] / 180.0 * _math.pi) * np.cos(xr) * v * v)
-                        d = 2.0 * 6378137.0 * np.arcsin(np.clip(s, 0.0, 1.0))
-                        cnt[j] = np.count_nonzero(d <= rad[t])
+                        cnt[j] = np.count_nonzero(
+                            probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], rad[t]))
                     yield pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
@@ -220,9 +200,7 @@ class TiledSpatialEngine:
                     out_g, out_c = [], []
                     for gid in gids:
                         vx, vy = polys[gid]
-                        bb = ((px >= vx.min()) & (px <= vx.max())
-                              & (py >= vy.min()) & (py <= vy.max()))
-                        cand = np.flatnonzero(bb)
+                        cand = np.flatnonzero(probes.pip_candidates(px, py, vx, vy))
                         n_in = int(ray_cast_inside(px[cand], py[cand], vx, vy).sum()) if cand.size else 0
                         out_g.append(gid)
                         out_c.append(n_in)
@@ -276,15 +254,8 @@ class TiledSpatialEngine:
                     xs = grp["x"].to_numpy(); ys = grp["y"].to_numpy()
                     pids = grp["pid"].to_numpy()
                     for t in np.asarray(qidx, dtype=np.int64):
-                        k_i = min(int(qarr[t, 2]), xs.shape[0])
-                        d2 = (xs - qarr[t, 0]) ** 2 + (ys - qarr[t, 1]) ** 2
-                        if k_i < xs.shape[0]:
-                            part = np.argpartition(d2, k_i - 1)[:k_i]
-                            kth = d2[part].max()
-                        else:
-                            kth = np.inf
-                        cand = np.flatnonzero(d2 <= kth)
-                        sel = cand[np.lexsort((pids[cand], ys[cand], xs[cand], d2[cand]))][:k_i]
+                        sel, d2 = probes.knn_local_topk(
+                            xs, ys, pids, qarr[t, 0], qarr[t, 1], qarr[t, 2])
                         yield pd.DataFrame({
                             "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
                             "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]})
