@@ -70,35 +70,50 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- spark callables ---
 
+_ENGINES: dict[tuple, SpatialEngine] = {}
+
+
+def _eng(spark: SparkSession, sf_dir: str, scheme: str, refine: str = "learned",
+         **kw) -> SpatialEngine:
+    """Memoized engine per (session, sf_dir, config): the driver's
+    correctness gate runs ~20 spatial entries against the same tables —
+    each engine (splitter build + derived-point load) is built once."""
+    key = (id(spark), sf_dir, scheme, refine, tuple(sorted(kw.items())))
+    e = _ENGINES.get(key)
+    if e is None:
+        e = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine, **kw)
+        _ENGINES[key] = e
+    return e
+
+
 def _mk_range_count(scheme: str, refine: str) -> Callable:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine)
-        return eng.range_count(_rects())
+        return _eng(spark, sf_dir, scheme, refine).range_count(_rects())
     return fn
 
 
 def _range_materialize(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="learned")
+    eng = _eng(spark, sf_dir, "fixed_grid", "learned")
     return eng.range_materialize(_rects())
 
 
 def _point_lookup(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="adaptive_grid")
+    eng = _eng(spark, sf_dir, "adaptive_grid")
     return eng.point_lookup(_point_queries(sf_dir))
 
 
 def _distance_count(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    eng = _eng(spark, sf_dir, "fixed_grid")
     return eng.distance_count(_circles())
 
 
 def _distance_materialize(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="adaptive_grid")
+    eng = _eng(spark, sf_dir, "adaptive_grid")
     return eng.distance_materialize(_circles())
 
 
 def _point_lookup_quadtree(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="quadtree")
+    eng = _eng(spark, sf_dir, "quadtree")
     return eng.point_lookup(_point_queries(sf_dir))
 
 
@@ -106,35 +121,34 @@ def _range_count_salted(spark, sf_dir):
     """Skew-salted probe (north rule): oversized cells sub-split by a
     deterministic salt; results must be identical to the unsalted oracle
     (count partials re-aggregate on query_id)."""
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="learned",
-                        salt_rows=2000)
+    eng = _eng(spark, sf_dir, "fixed_grid", "learned", salt_rows=2000)
     return eng.range_count(_rects())
 
 
 def _pip_count(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="quadtree")
+    eng = _eng(spark, sf_dir, "quadtree")
     return eng.pip(_polys())
 
 
 def _pip_pairs(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    eng = _eng(spark, sf_dir, "fixed_grid")
     return eng.pip(_polys(), pairs=True)
 
 
 def _knn(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    eng = _eng(spark, sf_dir, "fixed_grid")
     return eng.knn(_knnq())
 
 
 def _mk_tile_assign(scheme: str) -> Callable:
     def fn(spark, sf_dir):
-        eng = SpatialEngine(spark, sf_dir, scheme=scheme)
+        eng = _eng(spark, sf_dir, scheme)
         return eng.tile_assignment()
     return fn
 
 
 def _polygon_tiles(spark, sf_dir):
-    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    eng = _eng(spark, sf_dir, "fixed_grid")
     return eng.polygon_tiles(_polys())
 
 
