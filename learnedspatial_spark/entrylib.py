@@ -252,6 +252,10 @@ def _simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir))
 
 
+def _ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _simhash_md5(spark, sf_dir):
     return dedup.simhash_md5_table(_docs(spark, sf_dir))
 
@@ -405,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["scan_overhead_fixed_grid"] = _scan_overhead
     out["points_decimated"] = _points_decimated
     out["minhash_dedup_pairs"] = _minhash_pairs
+    out["ngram_jaccard_pairs"] = _ngram_jaccard
     out["simhash_table"] = _simhash
     out["simhash_md5_table"] = _simhash_md5
     out["lsh_ann_topk"] = _lsh_ann

@@ -157,3 +157,30 @@ def test_stateful_rolling_tile_counts(spark, tmp_path):
         by_cell.setdefault(r["cell_id"], []).append(r)
     for cid, rs in by_cell.items():
         assert sum(x["batch_rows"] for x in rs) == want[cid]
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window is the streaming-capable sessionizer the batch
+    events_sessionize entry uses — on a stream (availableNow, complete
+    mode) it must produce the batch sessions exactly."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_pages")
+    datagen.pages_df(spark, 400, partitions=4).write.parquet(src)
+    pts_b = ingest.extract_points_stream(spark.read.parquet(src))
+    want = {(r["u"], r["s"]): r["n"] for r in (
+        pts_b.groupBy(F.col("url").alias("u"),
+                      F.session_window("warc_ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("u", F.col("w.start").alias("s"), "n").collect())}
+    stream = ingest.read_pages_stream(spark, src, max_files=2)
+    agg = (ingest.extract_points_stream(stream)
+           .groupBy(F.col("url").alias("u"),
+                    F.session_window("warc_ts", "10 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select("u", F.col("w.start").alias("s"), "n"))
+    q = (agg.writeStream.format("memory").queryName("sess_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["u"], r["s"]): r["n"] for r in spark.sql("select * from sess_out").collect()}
+    assert got == want and len(got) > 0
