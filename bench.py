@@ -108,13 +108,19 @@ def main() -> None:
     # p50 single-query latency (BASELINE.md operational target): each
     # measurement is one full engine job for one rectangle — planning +
     # pruning + probe + aggregation, the distributed analog of ns/lookup
-    lat = []
-    for (qid, fx, fy, tx, ty) in rects[:20]:
-        t0 = time.perf_counter()
-        eng.range_count([(qid, fx, fy, tx, ty)]).collect()
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    p50_latency = round(lat[len(lat) // 2], 4)
+    def p50_of(queries, run_one):
+        lat = []
+        for qq in queries:
+            t0 = time.perf_counter()
+            run_one(qq)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return round(lat[len(lat) // 2], 4)
+
+    p50_latency = p50_of(rects[:20], lambda r: eng.range_count([r]).collect())
+    p50_distance = p50_of(circles[:10], lambda c: eng.distance_count([c]).collect())
+    poly_items = list(polys.items())[:10]
+    p50_pip = p50_of(poly_items, lambda kv: eng.pip({kv[0]: kv[1]}).collect())
 
     total = round(time.perf_counter() - t_all0, 4)  # engine suite wall
     # single-node oracle baseline (the reference is single-threaded C++;
@@ -149,6 +155,8 @@ def main() -> None:
         "rows": n_rows,
         "query_sec": query_total,
         "p50_query_latency_sec": p50_latency,
+        "p50_distance_latency_sec": p50_distance,
+        "p50_pip_latency_sec": p50_pip,
         "throughput_rows_sec": round(n_rows * sum(1 for k in timings if k.startswith("q_")) / max(query_total, 1e-9), 1),
         "cpus": int(cpus),
     }))
