@@ -172,16 +172,12 @@ class SpatialEngine:
             expr = p.assign_sql("x", "y") if isinstance(p, MortonPartitioner) else p.assign_sql("x")
             out = df.withColumn("cell_id", F.expr(expr))
         elif isinstance(p, STRPartitioner):
-            w_x = Window.orderBy("x", "y", "pid")
-            df2 = df.withColumn("rank_x", F.row_number().over(w_x))
-            df2 = df2.withColumn("slice_id", ((F.col("rank_x") - 1) / p.slice_cap).cast("bigint"))
-            w_y = Window.partitionBy("slice_id").orderBy("y", "x", "pid")
+            # two chained rankings with NO unpartitioned window: the global
+            # (x, y, pid) rank is bucketed two-phase (operators/ranking.py)
+            # so no single task ever sees the full row set
+            from .operators.ranking import str_cell_ids
             cells_per_slice = math.ceil(p.slice_cap / p.leaf)
-            df2 = df2.withColumn("rank_y", F.row_number().over(w_y))
-            out = df2.withColumn(
-                "cell_id",
-                F.col("slice_id") * cells_per_slice + ((F.col("rank_y") - 1) / p.leaf).cast("bigint"),
-            ).drop("rank_x", "rank_y", "slice_id")
+            out = str_cell_ids(df, "pid", p.slice_cap, p.leaf, cells_per_slice)
         else:
             spec = p.to_spec()
 

@@ -30,6 +30,8 @@ Results are exact: the spline is an accelerator, never a filter.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 SPLINE_EPSILON = 32  # include/partition_cells/Spline.hpp:39-42 (SPLINE_SIZE)
@@ -50,6 +52,19 @@ def build_cdf(y_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return y_sorted[idx], idx.astype(np.int64)
 
 
+def _corridor(base_k: float, base_p: float, k: float, p: float, eps: float) -> tuple[float, float, bool]:
+    """Corridor slope bounds from base to (k, p); ok=False when the key gap
+    is non-positive or so small (subnormal / near-subnormal) that the slopes
+    overflow to inf — those points must be pinned as knots, not approximated
+    (adversarial finite-double key sets, e.g. consecutive denormals)."""
+    dk = k - base_k
+    if dk <= 0.0:
+        return 0.0, 0.0, False
+    hi = (p + eps - base_p) / dk
+    lo = (p - eps - base_p) / dk
+    return hi, lo, math.isfinite(hi) and math.isfinite(lo)
+
+
 def fit_spline(keys: np.ndarray, positions: np.ndarray, eps: float = SPLINE_EPSILON) -> tuple[np.ndarray, np.ndarray]:
     """Greedy taut-string fit: max |spline(key) - position| <= eps at every
     CDF key (include/utils/SplineUtil.h:219-261 semantics).
@@ -57,6 +72,10 @@ def fit_spline(keys: np.ndarray, positions: np.ndarray, eps: float = SPLINE_EPSI
     Returns (knot_keys, knot_positions) with knots a subset of CDF points.
     Python loop over *distinct* keys only; cells are bounded by the
     partition-size knob so this stays cheap inside applyInPandas.
+
+    Key gaps tiny enough to overflow the corridor slopes (subnormal
+    differences) force the affected keys to become knots — the eps bound
+    then holds exactly at those keys instead of degrading to inf.
     """
     m = keys.shape[0]
     if m <= 2:
@@ -66,37 +85,67 @@ def fit_spline(keys: np.ndarray, positions: np.ndarray, eps: float = SPLINE_EPSI
     kk: list[float] = [float(keys[0])]
     kp: list[float] = [float(positions[0])]
     base_k, base_p = float(keys[0]), float(positions[0])
-    dk1 = float(keys[1]) - base_k
-    hi = (float(positions[1]) + eps - base_p) / dk1
-    lo = (float(positions[1]) - eps - base_p) / dk1
-    prev_k, prev_p = float(keys[1]), float(positions[1])
-    for i in range(2, m):
+    hi = lo = 0.0
+    have_corridor = False
+    prev_k, prev_p = base_k, base_p
+    for i in range(1, m):
         k = float(keys[i])
         p = float(positions[i])
-        dk = k - base_k
-        s = (p - base_p) / dk
-        if s > hi or s < lo:
-            # current point falls outside the corridor: the previous point
-            # becomes a knot and starts a fresh corridor
-            kk.append(prev_k)
-            kp.append(prev_p)
-            base_k, base_p = prev_k, prev_p
-            dk = k - base_k
-            hi = (p + eps - base_p) / dk
-            lo = (p - eps - base_p) / dk
+        if not have_corridor:
+            h, l, ok = _corridor(base_k, base_p, k, p, eps)
+            if ok:
+                hi, lo = h, l
+                have_corridor = True
+            else:
+                kk.append(k)
+                kp.append(p)
+                base_k, base_p = k, p
+            prev_k, prev_p = k, p
+            continue
+        h, l, ok = _corridor(base_k, base_p, k, p, eps)
+        s = (p - base_p) / (k - base_k) if ok else math.inf
+        if ok and lo <= s <= hi:
+            hi = min(hi, h)
+            lo = max(lo, l)
         else:
-            hi = min(hi, (p + eps - base_p) / dk)
-            lo = max(lo, (p - eps - base_p) / dk)
+            # current point falls outside the corridor (or the slopes are
+            # non-finite): the previous point becomes a knot and a fresh
+            # corridor starts from it
+            if kk[-1] != prev_k:
+                kk.append(prev_k)
+                kp.append(prev_p)
+            base_k, base_p = prev_k, prev_p
+            h, l, ok = _corridor(base_k, base_p, k, p, eps)
+            if ok:
+                hi, lo = h, l
+                have_corridor = True
+            else:
+                kk.append(k)
+                kp.append(p)
+                base_k, base_p = k, p
+                have_corridor = False
         prev_k, prev_p = k, p
-    kk.append(float(keys[m - 1]))
-    kp.append(float(positions[m - 1]))
+    if kk[-1] != float(keys[m - 1]):
+        kk.append(float(keys[m - 1]))
+        kp.append(float(positions[m - 1]))
     return np.asarray(kk, dtype=np.float64), np.asarray(kp, dtype=np.float64)
 
 
 def spline_estimate(knot_keys: np.ndarray, knot_pos: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Interpolate estimated positions for query keys (vectorized analog of
-    GetSplineSegment + InterpolateSegment, Spline.hpp:392-453)."""
-    est = np.interp(q, knot_keys, knot_pos)
+    GetSplineSegment + InterpolateSegment, Spline.hpp:392-453).
+
+    A knot interval whose key gap is subnormal has an overflowing segment
+    slope, so ``np.interp`` can return +/-inf even for a query exactly on a
+    knot; repair those to the covering knot's own position (exact for
+    on-knot queries — the only keys the fit leaves adjacent to such gaps)."""
+    with np.errstate(over="ignore", invalid="ignore"):
+        est = np.interp(q, knot_keys, knot_pos)
+    bad = ~np.isfinite(est)
+    if np.any(bad):
+        i = np.clip(np.searchsorted(knot_keys, np.asarray(q, dtype=np.float64)[bad], side="right") - 1,
+                    0, knot_keys.shape[0] - 1)
+        est[bad] = knot_pos[i]
     return est
 
 

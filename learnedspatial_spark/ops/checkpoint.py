@@ -25,6 +25,15 @@ import time
 from dataclasses import dataclass, field
 
 
+def _spec_core(spec):
+    """Spec identity for resume-lineage comparison: derived routing payload
+    (STR per-cell ``mbrs``, filled after the stats phase) is not part of the
+    splitter's identity — a resumed build re-presents the pre-stats spec."""
+    if isinstance(spec, dict):
+        return {k: v for k, v in spec.items() if k != "mbrs"}
+    return spec
+
+
 @dataclass
 class CheckpointManifest:
     root: str
@@ -44,7 +53,8 @@ class CheckpointManifest:
         if os.path.exists(m.path):
             with open(m.path) as f:
                 d = json.load(f)
-            if partitioner_spec is not None and d.get("partitioner_spec") not in (None, partitioner_spec):
+            if (partitioner_spec is not None and d.get("partitioner_spec") is not None
+                    and _spec_core(d["partitioner_spec"]) != _spec_core(partitioner_spec)):
                 raise ValueError(
                     "checkpoint manifest was produced by a different partitioner "
                     "spec; refusing to resume (lineage mismatch)")

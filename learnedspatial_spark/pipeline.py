@@ -73,25 +73,16 @@ def build_tiled_index(
         part = MortonPartitioner(level=level)
         assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x", "y")))
     elif scheme == "str":
-        # Sort-Tile-Recursive as two chained window ranks (pure JVM).  A
-        # global row_number is a sort-based materialization cost paid ONCE
-        # at build; probes never re-rank (they read cell_id).
-        from pyspark.sql.window import Window
-
+        # Sort-Tile-Recursive as two chained rankings (pure JVM), paid ONCE
+        # at build; probes never re-rank (they read cell_id).  The global
+        # rank uses the bucketed two-phase plan (operators/ranking.py) so
+        # there is no single-task sort even at full corpus scale.
         from .operators.partitioning import STRPartitioner
+        from .operators.ranking import str_cell_ids
         slice_cap, leaf = STRPartitioner.plan(n, partition_size)
         part = STRPartitioner(n=n, leaf=leaf, slice_cap=slice_cap, mbrs=[])
         cells_per_slice = math.ceil(slice_cap / leaf)
-        w_x = Window.orderBy("x", "y", id_col)
-        w_y = Window.partitionBy("slice_id").orderBy("y", "x", id_col)
-        assigned = (points
-                    .withColumn("rank_x", F.row_number().over(w_x))
-                    .withColumn("slice_id", ((F.col("rank_x") - 1) / slice_cap).cast("bigint"))
-                    .withColumn("rank_y", F.row_number().over(w_y))
-                    .withColumn("cell_id",
-                                F.col("slice_id") * cells_per_slice
-                                + ((F.col("rank_y") - 1) / leaf).cast("bigint"))
-                    .drop("rank_x", "rank_y", "slice_id"))
+        assigned = str_cell_ids(points, id_col, slice_cap, leaf, cells_per_slice)
     elif scheme in ("adaptive_grid", "kd_tree", "quadtree"):
         # tree/equi-depth schemes at production scale: splitter from a
         # BOUNDED deterministic sample (SURVEY.md §7.3(d)) — a hash-mod
@@ -161,6 +152,15 @@ def build_tiled_index(
     # phase 4: stats + lineage
     stats_path = os.path.join(out_root, "cell_stats")
     cell_metrics(tiled).write.mode("overwrite").parquet(stats_path)
+    if scheme == "str":
+        # STR routes by per-cell MBRs (rank-based assignment has no closed
+        # form): fill the spec from the stats table and refresh the manifest
+        # so TiledSpatialEngine prunes real candidate cells, not [].
+        srows = sorted(spark.read.parquet(stats_path).collect(), key=lambda r: r["cell_id"])
+        part.mbrs = [[int(r["cell_id"]), float(r["minx"]), float(r["miny"]),
+                      float(r["maxx"]), float(r["maxy"])] for r in srows]
+        manifest.partitioner_spec = part.to_spec()
+        manifest.flush()
     run_id = log.record_run(
         "build_tiled_index", part.to_spec(),
         inputs={"pages": pages_path or "<points_df>", "rows": n},

@@ -49,6 +49,17 @@ class TiledSpatialEngine:
         with open(manifest_path) as f:
             spec = json.load(f)["partitioner_spec"]
         self.partitioner = Partitioner.from_spec(spec)
+        if spec.get("scheme") == "str" and not self.partitioner.mbrs:
+            # defensive fallback for indexes whose manifest predates the
+            # stats-filled spec: STR routes by per-cell MBRs, so an empty
+            # list would silently prune EVERY cell — rebuild routing state
+            # from the persisted cell_stats table instead.
+            srows = sorted(
+                spark.read.parquet(os.path.join(index_root, "cell_stats")).collect(),
+                key=lambda r: r["cell_id"])
+            self.partitioner.mbrs = [
+                [int(r["cell_id"]), float(r["minx"]), float(r["miny"]),
+                 float(r["maxx"]), float(r["maxy"])] for r in srows]
         self._models_bc = None
 
     # ------------------------------------------------------------ models ---

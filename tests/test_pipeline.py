@@ -87,6 +87,30 @@ def test_build_tiled_index_str(spark, tmp_path):
     assert tiled.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0] <= leaf
 
 
+def test_build_tiled_index_str_query_parity(spark, tmp_path):
+    """STR tiled index must ROUTE (regression: an empty-mbrs spec silently
+    pruned every cell and the coalesce-to-0 join masked it): range/distance
+    counts over the materialized STR index == the flat full-scan filter."""
+    from learnedspatial_spark import extract
+    from learnedspatial_spark.tiled import TiledSpatialEngine
+    pages_path = str(tmp_path / "pages_sq")
+    out_root = str(tmp_path / "index_sq")
+    datagen.pages_df(spark, 2000, partitions=4).write.parquet(pages_path)
+    pipeline.build_tiled_index(spark, pages_path, out_root,
+                               scheme="str", partition_size=200)
+    eng = TiledSpatialEngine(spark, out_root)
+    assert eng.partitioner.mbrs, "STR spec must carry per-cell MBRs after build"
+    rects = [(0, -60.0, -120.0, 30.0, 45.0), (1, 10.0, 10.0, 11.0, 12.0),
+             (2, -90.0, -180.0, 90.0, 180.0)]
+    flat = extract.points_from_pages(spark.read.parquet(pages_path))
+    want = {qid: flat.where((F.col("x") >= fx) & (F.col("x") <= tx)
+                            & (F.col("y") >= fy) & (F.col("y") <= ty)).count()
+            for (qid, fx, fy, tx, ty) in rects}
+    got = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+    assert got == want
+    assert want[2] == 2000  # whole-domain query exercises every cell
+
+
 def test_tiled_engine_query_parity(spark, tmp_path):
     """Build-once/query-many: TiledSpatialEngine over the materialized
     index matches the flat full-scan filter, learned == binsearch, and the
