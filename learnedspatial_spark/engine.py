@@ -83,6 +83,7 @@ class SpatialEngine:
         salt_rows: int | None = None,
         source: str = "lineitem",
         build_sample: int | None = None,
+        exact_build_threshold: int = 2_000_000,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -97,44 +98,65 @@ class SpatialEngine:
         # source: "lineitem" = harness derivation from sf_dir tables;
         #         "pages"   = sf_dir is a pages parquet path (url->pid hash)
         self.source = source
-        # splitter build: exact from the full point set by default (the
-        # harness scale; bit-reproducible against the oracle SQL literals).
-        # ``build_sample=k`` switches the tree schemes to a deterministic
-        # sample of k points — the 100 TB build path (SURVEY.md §7.3(d)):
-        # cell structure changes, query RESULTS do not (routing + refine
-        # stay exact for any partitioning).
-        pid, x, y = self._points_np()
-        self._n = x.shape[0]
-        if build_sample is not None and x.shape[0] > build_sample:
-            step = max(1, x.shape[0] // build_sample)
-            xs, ys = x[::step], y[::step]
-            # equi-depth/median splits from the sample; counts still from n
-            self.partitioner = self._build_partitioner(xs, ys)
+        # splitter build — scale-safe by default: closed-form schemes
+        # (fixed grid / Morton / STR) need only (min, max, count), computed
+        # with ONE Spark aggregation (no point ever reaches the driver).
+        # Data-dependent schemes (adaptive grid / kd-tree / quadtree) build
+        # exact below ``exact_build_threshold`` rows (the harness scale —
+        # bit-reproducible against the oracle SQL literals) and switch to a
+        # bounded deterministic hash sample above it (the 100 TB path,
+        # SURVEY.md §7.3(d)): cell structure changes, query RESULTS do not
+        # (routing + refine stay exact for any partitioning).
+        # ``build_sample=k`` forces the sampled path at ~k rows.
+        agg = self.points().agg(F.min("x"), F.max("x"), F.count(F.lit(1))).collect()[0]
+        self._xmin, self._xmax = float(agg[0]), float(agg[1])
+        self._n = n = int(agg[2])
+        if self.scheme in ("fixed_grid", "morton", "str"):
+            self.partitioner = self._build_closed_form(self._xmin, self._xmax, n)
         else:
-            self.partitioner = self._build_partitioner(x, y)
+            target = build_sample if build_sample is not None else exact_build_threshold
+            if n <= target:
+                _, x, y = self._points_np()
+                self.partitioner = self._build_partitioner(x, y)
+            else:
+                k = max(1, n // max(1, target))
+                samp = (self.points()
+                        .where(F.pmod(F.xxhash64("pid"), F.lit(k)) == 0)
+                        .select("x", "y").collect())
+                xs = np.asarray([r["x"] for r in samp], dtype=np.float64)
+                ys = np.asarray([r["y"] for r in samp], dtype=np.float64)
+                # per-leaf budget shrinks by the sampling ratio so full-scale
+                # occupancy still targets partition_size (pipeline.py parity)
+                self.partitioner = self._build_partitioner(
+                    xs, ys, ps=max(1, self.partition_size // k))
         self._assigned: DataFrame | None = None
         self._stats: CellStats | None = None
         self._models: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
 
     # ------------------------------------------------------------ build ---
 
-    def _build_partitioner(self, x: np.ndarray, y: np.ndarray) -> Partitioner:
+    def _build_closed_form(self, xmin: float, xmax: float, n: int) -> Partitioner:
+        """Schemes whose splitter is a pure function of (bbox, count) — no
+        point data touches the driver."""
         ps = self.partition_size
         if self.scheme == "fixed_grid":
-            return FixedGridPartitioner.build(x.min(), x.max(), x.shape[0], ps)
+            return FixedGridPartitioner.build(xmin, xmax, n, ps)
+        if self.scheme == "morton":
+            level = max(1, min(12, int(math.ceil(math.log2(max(2.0, n / ps)) / 2))))
+            return MortonPartitioner(level=level)
+        if self.scheme == "str":
+            slice_cap, leaf = STRPartitioner.plan(n, ps)
+            return STRPartitioner(n=n, leaf=leaf, slice_cap=slice_cap, mbrs=[])
+        raise ValueError(f"not a closed-form scheme: {self.scheme}")
+
+    def _build_partitioner(self, x: np.ndarray, y: np.ndarray, ps: int | None = None) -> Partitioner:
+        ps = self.partition_size if ps is None else ps
         if self.scheme == "adaptive_grid":
             return AdaptiveGridPartitioner.build_from_sorted_x(np.sort(x), ps)
         if self.scheme == "kd_tree":
             return KdTreePartitioner.build_from_points(x, y, ps)
         if self.scheme == "quadtree":
             return QuadtreePartitioner.build_from_points(x, y, ps)
-        if self.scheme == "morton":
-            level = max(1, min(12, int(math.ceil(math.log2(max(2.0, x.shape[0] / ps)) / 2))))
-            return MortonPartitioner(level=level)
-        if self.scheme == "str":
-            slice_cap, leaf = STRPartitioner.plan(x.shape[0], ps)
-            part = STRPartitioner(n=x.shape[0], leaf=leaf, slice_cap=slice_cap, mbrs=[])
-            return part
         raise ValueError(f"unknown scheme {self.scheme}")
 
     def _points_np(self):
@@ -255,19 +277,23 @@ class SpatialEngine:
     def model_table(self) -> DataFrame:
         """Fit the per-cell learned models ONCE as a DataFrame job (the
         SplineCell::Build analog, Spline.hpp:18-53): one applyInPandas pass
-        emits (cell_id, n, linear_scan, knot_keys, knot_pos).  O(#cells x
-        #knots) — small, broadcastable, and the natural checkpoint/lineage
-        artifact (SURVEY.md §3 step 4)."""
+        emits (cell_id, n, linear_scan, knot_keys, knot_pos, avg_err,
+        max_err) — the error columns are the reference's per-spline model
+        quality metrics (SplineUtil.h:25-52).  O(#cells x #knots) — small,
+        broadcastable, and the natural checkpoint/lineage artifact
+        (SURVEY.md §3 step 4)."""
         def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
             ys = np.sort(pdf["y"].to_numpy())
             m = spl.fit_cell_model(ys)
             return pd.DataFrame([{
                 "cell_id": int(key[0]), "n": m["n"], "linear_scan": m["linear_scan"],
                 "knot_keys": m["knot_keys"], "knot_pos": m["knot_pos"],
+                "avg_err": m["avg_err"], "max_err": m["max_err"],
             }])
         return self.assigned_points().groupBy("cell_id").applyInPandas(
             fit, schema=("cell_id bigint, n bigint, linear_scan boolean, "
-                         "knot_keys array<double>, knot_pos array<double>"))
+                         "knot_keys array<double>, knot_pos array<double>, "
+                         "avg_err double, max_err double"))
 
     def fit_models(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         """Collect the model table into a broadcastable dict so learned
@@ -473,9 +499,9 @@ class SpatialEngine:
         """Q5 point-in-polygon join (src/main.cpp:452-505): per-polygon
         contained counts, or the (polygon_id, pid) pairs when ``pairs``.
         Polygons broadcast; candidate cells from each polygon's bbox; refine
-        = exact reference ray cast (include/queries/join.h:30-37) vectorized
-        over points x edges."""
-        from oracle.oracle import ray_cast_inside
+        = exact reference ray cast (include/queries/join.h:30-37),
+        engine-side kernel (operators/probes.py)."""
+        from .operators.probes import ray_cast_inside
         polymap: dict[int, list[int]] = {}
         if isinstance(self.partitioner, STRPartitioner):
             self.cell_stats()

@@ -77,8 +77,10 @@ def _eng(spark: SparkSession, sf_dir: str, scheme: str, refine: str = "learned",
          **kw) -> SpatialEngine:
     """Memoized engine per (session, sf_dir, config): the driver's
     correctness gate runs ~20 spatial entries against the same tables —
-    each engine (splitter build + derived-point load) is built once."""
-    key = (id(spark), sf_dir, scheme, refine, tuple(sorted(kw.items())))
+    each engine (splitter build + derived-point load) is built once.
+    Keyed on applicationId (stable per live session; id(spark) could be
+    recycled by a new session after the old one is collected)."""
+    key = (spark.sparkContext.applicationId, sf_dir, scheme, refine, tuple(sorted(kw.items())))
     e = _ENGINES.get(key)
     if e is None:
         e = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine, **kw)
@@ -153,12 +155,22 @@ def _polygon_tiles(spark, sf_dir):
 
 
 _TILED_ROOTS: dict[str, str] = {}
+_TILED_ENGINES: dict[tuple, object] = {}
+
+
+def _cleanup_tiled_roots() -> None:
+    import shutil
+    for root in _TILED_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _tiled_engine(spark, sf_dir):
     """Build (once per sf_dir, memoized) and open the materialized tiled
     index — the production build-once/query-many path inside the graded
-    contract."""
+    contract.  The TiledSpatialEngine instance itself is memoized (keyed
+    like _eng) so the model-table broadcast is reused across entries; temp
+    index roots are removed at interpreter exit."""
+    import atexit
     import tempfile
 
     from .pipeline import build_tiled_index
@@ -166,11 +178,18 @@ def _tiled_engine(spark, sf_dir):
     from .tiled import TiledSpatialEngine
     root = _TILED_ROOTS.get(sf_dir)
     if root is None:
+        if not _TILED_ROOTS:
+            atexit.register(_cleanup_tiled_roots)
         root = tempfile.mkdtemp(prefix="lsp_contract_tiled_")
         build_tiled_index(spark, None, root, points_df=points_df(spark, sf_dir),
                           partition_size=1000)
         _TILED_ROOTS[sf_dir] = root
-    return TiledSpatialEngine(spark, root)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    e = _TILED_ENGINES.get(key)
+    if e is None:
+        e = TiledSpatialEngine(spark, root)
+        _TILED_ENGINES[key] = e
+    return e
 
 
 def _range_count_tiled(spark, sf_dir):
@@ -281,13 +300,17 @@ def _ivf_ann(spark, sf_dir):
 
 
 def _multimodal(spark, sf_dir):
+    """Real decode: BMP/WAV payloads are genuinely parsed (pure-Python
+    codecs, operators/multimodal.py); the synthetic corpus parameters are
+    closed-form in doc_id so every decoded feature has a DuckDB twin.
+    Stubbed compressed media (mp4) carries the sentinel -1 features."""
     media = multimodal.attach_fake_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media).select("doc_id", "media_type", "n_bytes")
+    return multimodal.extract_features(media)
 
 
 def _multimodal_resize(spark, sf_dir):
     media = multimodal.attach_fake_media(_docs(spark, sf_dir))
-    return multimodal.resize_images(media).select("doc_id", "out_w", "out_h")
+    return multimodal.resize_images(media, max_dim=32).select("doc_id", "out_w", "out_h")
 
 
 def _dup_stats(spark, sf_dir):
@@ -672,12 +695,33 @@ def oracle_sql() -> dict[str, str]:
     out["points_decimated"] = (
         f"WITH {POINTS_CTE} SELECT pid, x, y FROM points WHERE pid % 10 = 0")
     out["multimodal_resize"] = (
-        "WITH m AS (SELECT doc_id, cast(doc_id % 640 + 1 as int) AS w, "
-        "cast(doc_id % 480 + 1 as int) AS h FROM documents WHERE doc_id % 3 = 0), "
+        "WITH m AS (SELECT doc_id, cast(doc_id % 64 + 1 as int) AS w, "
+        "cast(doc_id % 48 + 1 as int) AS h FROM documents WHERE doc_id % 3 = 0), "
         "s AS (SELECT doc_id, w, h, "
-        "least(cast(1 as double), cast(256 as double) / greatest(w, h)) AS sc FROM m) "
+        "least(cast(1 as double), cast(32 as double) / greatest(w, h)) AS sc FROM m) "
         "SELECT doc_id, cast(greatest(1, floor(w * sc)) as int) AS out_w, "
         "cast(greatest(1, floor(h * sc)) as int) AS out_h FROM s")
+    out["multimodal_features"] = (
+        # closed forms of the synthetic media parameters (multimodal.
+        # _media_params); the Spark side reaches the same numbers by
+        # DECODING the real BMP/WAV payloads it generated
+        "SELECT doc_id, "
+        "case cast(doc_id % 3 as int) when 0 then 'image/bmp' "
+        "  when 1 then 'audio/wav' else 'video/mp4' end AS media_type, "
+        "cast(case cast(doc_id % 3 as int) "
+        "  when 0 then 54 + (doc_id % 48 + 1) * (((doc_id % 64 + 1) * 3 + 3) // 4 * 4) "
+        "  when 1 then 44 + (doc_id % 100 + 1) * 2 "
+        "  else length(text) end as bigint) AS n_bytes, "
+        "cast(case cast(doc_id % 3 as int) when 0 then doc_id % 64 + 1 "
+        "  when 1 then doc_id % 100 + 1 else -1 end as int) AS width, "
+        "cast(case cast(doc_id % 3 as int) when 0 then doc_id % 48 + 1 "
+        "  when 1 then 8000 else -1 end as int) AS height, "
+        "case cast(doc_id % 3 as int) "
+        "  when 0 then ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)) "
+        "    / cast(3 as double) "
+        "  when 1 then cast(doc_id % 20000 - 10000 as double) "
+        "  else cast(-1 as double) end AS mean_v "
+        "FROM documents")
     out["simhash_md5_table"] = (
         "WITH g AS ("
         "  SELECT d.doc_id, md5(substring(d.text, t.i, 3)) AS h"

@@ -71,6 +71,9 @@ def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngr
         .agg(F.collect_list("doc_id").alias("ids"))
         .where(F.size("ids") > 1)
         .select(F.explode(pairs_in_bucket).alias("p"))
+        # duplicate doc_ids in one bucket would yield degenerate a==a pairs
+        # (the old self-join's strict doc_a < doc_b excluded them)
+        .where(F.col("p.doc_a") != F.col("p.doc_b"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -160,31 +163,43 @@ SIMHASH_SIGN_EXPR = (
 )
 
 
+def _simhash_sign_expr_lit(j: int) -> str:
+    """SIMHASH_SIGN_EXPR with the bit index ``j`` substituted as a literal:
+    bit j lives in hex char j//4 (1-based) at weight 2^(3 - j%4).  Same
+    arithmetic as the shared fragment, so results stay bit-identical with
+    the DuckDB oracle."""
+    c = j // 4 + 1
+    w = 2 ** (3 - (j % 4))
+    return (f"case when floor((instr('0123456789abcdef', substring(h, {c}, 1)) - 1) "
+            f"/ {w}) % 2 = 1 then 1 else -1 end")
+
+
 def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, sim_lo, sim_hi) — 64-bit SimHash over char-n-gram md5
     hashes, computed ENTIRELY with JVM Column expressions (no Python): the
-    text explodes to one row per n-gram position, md5 hashes JVM-side, the
-    per-bit ±1 sums aggregate with map-side partial aggregation, and the
-    two unsigned 32-bit halves reassemble exactly.  Cross-engine-checkable
+    text explodes to one row per n-gram position, md5 hashes JVM-side, and
+    ONE hash aggregation per doc computes all 64 per-bit ±1 sums as 64
+    aggregate columns (map-side partial aggregation; plan rows = docs x
+    n-grams — no 64-way join blow-up).  Cross-engine-checkable
     (``entrylib`` carries the DuckDB twin), unlike :func:`simhash_table`
     whose splitmix mixing needs uint64 wraparound SQL can't express.
 
-    At 100 TB this is a single wide scan -> two hash aggregations keyed by
-    (doc_id, bit) then doc_id; no driver state, no UDF."""
-    spark = docs.sparkSession
+    At 100 TB this is a single wide scan -> one hash aggregation keyed by
+    doc_id; no driver state, no UDF."""
     g = (docs.select(
             "doc_id",
             F.explode(F.sequence(
                 F.lit(1), F.greatest(F.length("text") - (ngram - 1), F.lit(1)))).alias("i"),
             "text")
          .select("doc_id", F.md5(F.expr(f"cast(substring(text, i, {ngram}) as binary)")).alias("h")))
-    jj = spark.range(64).select(F.col("id").alias("j"))
-    bits = (g.crossJoin(F.broadcast(jj))
-            .groupBy("doc_id", "j")
-            .agg(F.sum(F.expr(SIMHASH_SIGN_EXPR)).alias("s")))
-    return (bits.groupBy("doc_id").agg(
-        F.expr("cast(sum(case when s > 0 and j < 32 then pow(2, j) else 0 end) as bigint)").alias("sim_lo"),
-        F.expr("cast(sum(case when s > 0 and j >= 32 then pow(2, j - 32) else 0 end) as bigint)").alias("sim_hi")))
+    bits = g.groupBy("doc_id").agg(
+        *[F.sum(F.expr(_simhash_sign_expr_lit(j))).alias(f"s{j}") for j in range(64)])
+    lo = " + ".join(f"(case when s{j} > 0 then {1 << j} else 0 end)" for j in range(32))
+    hi = " + ".join(f"(case when s{j} > 0 then {1 << (j - 32)} else 0 end)" for j in range(32, 64))
+    return bits.select(
+        "doc_id",
+        F.expr(f"cast({lo} as bigint)").alias("sim_lo"),
+        F.expr(f"cast({hi} as bigint)").alias("sim_hi"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 4) -> DataFrame:

@@ -1,11 +1,17 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column operators.
 
 Binary payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``.  The image/audio codec libraries are NOT in this
-container, so the decode step is STUBBED behind a deterministic fake
-(clearly marked) — the Spark-side plumbing (schema, batching, partitioning,
-UDF signatures) is real and tested (tests/test_multimodal.py).
+over ``mapInPandas``.
+
+Decode is REAL for the uncompressed formats: this module carries
+pure-Python/NumPy codecs for 24-bit BI_RGB **BMP** and 16-bit PCM mono
+**WAV** (no codec libraries exist in this container, and none are needed
+for these formats).  Compressed video (``video/mp4``) remains an HONEST
+STUB — ``_decode`` raises ``NotImplementedError`` and the feature extractor
+emits sentinel values; a real deployment plugs ffmpeg/PIL in at exactly
+that dispatch point.  Tests: tests/test_ops.py (plumbing + codec
+round-trips).
 
 At 100 TB: payloads stay columnar in parquet/Iceberg; decode UDFs stream
 Arrow batches (bounded memory per task via maxRecordsPerBatch); derived
@@ -15,7 +21,7 @@ co-located.
 
 from __future__ import annotations
 
-import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -26,57 +32,174 @@ MEDIA_SCHEMA = ("doc_id bigint, media_type string, payload binary, "
                 "width int, height int, duration_ms int")
 
 
+# ------------------------------------------------------------ BMP codec ---
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from an (h, w, 3) uint8 RGB array.
+    Rows bottom-up, BGR byte order, 4-byte row padding — the standard
+    layout any image tool reads."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_bytes - w * 3)
+    bgr = pixels[:, :, ::-1]  # RGB -> BGR
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[r].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array.
+    Validates magic/bpp/compression like a real decoder."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    flipped = h > 0
+    h = abs(h)
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resample_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) array (pixel-center
+    mapping)."""
+    h, w, _ = pixels.shape
+    yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[yi][:, xi]
+
+
+# ------------------------------------------------------------ WAV codec ---
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """16-bit PCM mono RIFF/WAVE from an int16 sample array."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse 16-bit PCM mono WAV -> (int16 samples, sample_rate), walking
+    the RIFF chunk list like a real decoder (tolerates extra chunks)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, int(rate)
+
+
+# ------------------------------------------------- synthetic media corpus ---
+
+def _media_params(doc_id: int) -> dict:
+    """Deterministic per-doc media parameters (shared with the DuckDB
+    oracle's closed forms in entrylib)."""
+    m = doc_id % 3
+    if m == 0:
+        return {"type": "image/bmp", "w": doc_id % 64 + 1, "h": doc_id % 48 + 1,
+                "rgb": (doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256)}
+    if m == 1:
+        return {"type": "audio/wav", "n": doc_id % 100 + 1, "rate": 8000,
+                "amp": doc_id % 20000 - 10000}
+    return {"type": "video/mp4"}
+
+
 def attach_fake_media(docs: DataFrame) -> DataFrame:
-    """Deterministically wrap documents with a fake binary payload +
-    metadata (test harness for the plumbing; payload = utf-8 text bytes)."""
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-         .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-         .otherwise(F.lit("video/mp4")).alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
-        (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
-        (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
-    )
+    """Deterministically wrap documents with REAL media payloads: solid-
+    color BMPs and constant-amplitude PCM WAVs generated by the codecs
+    above (parameters are closed-form in doc_id so features are
+    oracle-checkable); ``video/mp4`` rows carry the opaque utf-8 text bytes
+    (the stubbed-decoder case)."""
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()):
+                p = _media_params(int(did))
+                if p["type"] == "image/bmp":
+                    px = np.empty((p["h"], p["w"], 3), dtype=np.uint8)
+                    px[:, :] = p["rgb"]
+                    rows.append((int(did), p["type"], encode_bmp(px),
+                                 p["w"], p["h"], 0))
+                elif p["type"] == "audio/wav":
+                    samples = np.full(p["n"], p["amp"], dtype=np.int16)
+                    rows.append((int(did), p["type"], encode_wav(samples, p["rate"]),
+                                 0, 0, p["n"] * 1000 // p["rate"]))
+                else:
+                    rows.append((int(did), p["type"], str(text).encode("utf-8"),
+                                 0, 0, int(did) % 60000))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload",
+                                              "width", "height", "duration_ms"])
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB: real deployments plug PIL/ffmpeg here.  Deterministic fake:
-    sha256 bytes -> 8 float32 'features'.  Raises for unknown types like a
-    real decoder would."""
-    if media_type not in ("image/png", "audio/wav", "video/mp4"):
-        raise NotImplementedError(f"no decoder for {media_type}")
-    h = hashlib.sha256(payload).digest()
-    return (np.frombuffer(h[:32], dtype=np.uint32).astype(np.float32) / np.float32(2**32))
+# ------------------------------------------------------------- operators ---
+
+def _decode(payload: bytes, media_type: str) -> dict:
+    """Real decode dispatch.  Raises NotImplementedError for compressed
+    formats (the honest stub point — plug ffmpeg/PIL here)."""
+    if media_type == "image/bmp":
+        px = decode_bmp(bytes(payload))
+        return {"width": px.shape[1], "height": px.shape[0],
+                "mean_v": float(px.astype(np.float64).mean())}
+    if media_type == "audio/wav":
+        samples, rate = decode_wav(bytes(payload))
+        return {"width": int(samples.shape[0]), "height": rate,
+                "mean_v": float(samples.astype(np.float64).mean())}
+    raise NotImplementedError(f"no decoder for {media_type}")
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
-    """decode -> feature vector, Arrow-batched.  Output:
-    (doc_id, media_type, feat array<float>, n_bytes)."""
+    """decode -> typed features, Arrow-batched.  Output: (doc_id,
+    media_type, n_bytes, width, height, mean_v); undecodable media (the
+    stubbed compressed formats) carry the sentinel -1 triple."""
     def fn(it):
         for pdf in it:
-            feats = [
-                _decode_stub(p, m).tolist()
-                for p, m in zip(pdf["payload"].to_numpy(), pdf["media_type"].to_numpy())
-            ]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "media_type": pdf["media_type"].to_numpy(),
-                "feat": feats,
-                "n_bytes": [len(p) for p in pdf["payload"].to_numpy()],
-            })
-    return media.mapInPandas(fn, schema="doc_id bigint, media_type string, feat array<float>, n_bytes bigint")
+            out = []
+            for did, p, m in zip(pdf["doc_id"].to_numpy(),
+                                 pdf["payload"].to_numpy(), pdf["media_type"].to_numpy()):
+                try:
+                    d = _decode(p, m)
+                except NotImplementedError:
+                    d = {"width": -1, "height": -1, "mean_v": -1.0}
+                out.append((int(did), m, len(p), d["width"], d["height"], d["mean_v"]))
+            yield pd.DataFrame(out, columns=["doc_id", "media_type", "n_bytes",
+                                             "width", "height", "mean_v"])
+    return media.mapInPandas(
+        fn, schema="doc_id bigint, media_type string, n_bytes bigint, "
+                   "width int, height int, mean_v double")
 
 
 def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Aspect-preserving resize for image rows.  Target dimensions are pure
     Column math (JVM-side; never upscale, clamp longest side to
-    ``max_dim``); the pixel resample itself is the STUBBED decode step —
-    deterministic sha256 fake standing in for PIL/opencv, so the Spark-side
-    schema/batching is real and testable without codec libraries.  Output:
-    (doc_id, width, height, out_w, out_h, resized binary)."""
-    imgs = media.where(F.col("media_type") == "image/png")
+    ``max_dim``); the resample is a REAL decode -> nearest-neighbor ->
+    re-encode over the BMP codec.  Output: (doc_id, width, height, out_w,
+    out_h, resized binary) where ``resized`` is a valid BMP."""
+    imgs = media.where(F.col("media_type") == "image/bmp")
     scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / F.greatest("width", "height"))
     planned = imgs.select(
         "doc_id", "payload", "width", "height",
@@ -87,8 +210,7 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     def fn(it):
         for pdf in it:
             resized = [
-                # STUB resample: digest of payload + target dims
-                hashlib.sha256(bytes(p) + int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big")).digest()
+                encode_bmp(resample_nearest(decode_bmp(bytes(p)), int(w), int(h)))
                 for p, w, h in zip(pdf["payload"], pdf["out_w"], pdf["out_h"])
             ]
             out = pdf[["doc_id", "width", "height", "out_w", "out_h"]].copy()

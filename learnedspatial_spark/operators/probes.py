@@ -100,6 +100,34 @@ def pip_candidates(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
             & (py >= vy.min()) & (py <= vy.max()))
 
 
+def ray_cast_inside(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Q5 refine: point-in-polygon ray cast with the exact reference
+    crossing rule (include/queries/join.h:30-37) — engine-side kernel,
+    independent of the NumPy oracle package (which keeps its own
+    points-x-edges matrix formulation; the DuckDB SQL twin is the third
+    independent implementation).  Edge-major accumulation: O(#points)
+    memory regardless of polygon size.
+
+    Rule per edge (p1, p2): crossing iff p.y in (min(y1,y2), max(y1,y2)]
+    and p.x <= max(x1,x2) and y1 != y2 and (x1 == x2 or p.x <= xinters);
+    inside = odd crossing count (join.h:37)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    crossings = np.zeros(px.shape[0], dtype=np.int64)
+    for i in range(len(vx) - 1):
+        x1, y1 = float(vx[i]), float(vy[i])
+        x2, y2 = float(vx[i + 1]), float(vy[i + 1])
+        if y1 == y2:
+            continue
+        m = (py > min(y1, y2)) & (py <= max(y1, y2)) & (px <= max(x1, x2))
+        if x1 == x2:
+            crossings += m
+        else:
+            xinters = (py - y1) * (x2 - x1) / (y2 - y1) + x1
+            crossings += m & (px <= xinters)
+    return (crossings % 2).astype(bool)
+
+
 def knn_local_topk(xs, ys, pids, qx, qy, k) -> np.ndarray:
     """Per-cell exact top-k candidate indices with the engine's total order
     (d2, x, y, pid); ties at the k-th distance widened before the lexsort

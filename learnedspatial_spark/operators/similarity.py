@@ -140,9 +140,12 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     tiny broadcast, and per-query work drops from corpus-size to
     ~n_probe/n_centroids of it.  Output schema matches brute_cosine_topk;
     recall < 1 by design (tested with a recall floor, not equality)."""
+    # deterministic sample: limit without ordering varies across runs /
+    # partitionings, which would make centroids (hence recall) run-dependent
     sample = np.stack(
         [np.asarray(r[0], dtype=np.float64)
-         for r in emb.select("embedding").limit(sample_rows).collect()])
+         for r in emb.select("vec_id", "embedding").orderBy("vec_id")
+         .limit(sample_rows).select("embedding").collect()])
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cent = _kmeans_lite(sample, n_centroids, seed=seed)
 

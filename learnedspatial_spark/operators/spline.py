@@ -205,10 +205,15 @@ def learned_searchsorted(
 def fit_cell_model(y_sorted: np.ndarray, eps: float = SPLINE_EPSILON, linear_threshold: int = LINEAR_SCAN_THRESHOLD) -> dict:
     """Fit the per-cell model row (engine analog of SplineCell::Build,
     Spline.hpp:18-53). Returns plain-python dict ready for a model-table
-    DataFrame row."""
+    DataFrame row, including the model-quality error metrics the reference
+    emits per spline (SplineUtil.h:25-52 computeErrors/printErrors):
+    avg_err / max_err = |spline(key) - position| over the CDF keys."""
     n = int(y_sorted.shape[0])
     if n <= linear_threshold:
-        return {"n": n, "linear_scan": True, "knot_keys": [], "knot_pos": []}
+        return {"n": n, "linear_scan": True, "knot_keys": [], "knot_pos": [],
+                "avg_err": 0.0, "max_err": 0.0}
     keys, pos = build_cdf(y_sorted)
     kk, kp = fit_spline(keys, pos.astype(np.float64), eps)
-    return {"n": n, "linear_scan": False, "knot_keys": kk.tolist(), "knot_pos": kp.tolist()}
+    err = np.abs(spline_estimate(kk, kp, keys) - pos)
+    return {"n": n, "linear_scan": False, "knot_keys": kk.tolist(), "knot_pos": kp.tolist(),
+            "avg_err": float(err.mean()), "max_err": float(err.max())}

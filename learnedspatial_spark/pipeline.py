@@ -139,11 +139,13 @@ def build_tiled_index(
             m = spl.fit_cell_model(ys)
             return pd.DataFrame([{"cell_id": int(key[0]), "n": m["n"],
                                   "linear_scan": m["linear_scan"],
-                                  "knot_keys": m["knot_keys"], "knot_pos": m["knot_pos"]}])
+                                  "knot_keys": m["knot_keys"], "knot_pos": m["knot_pos"],
+                                  "avg_err": m["avg_err"], "max_err": m["max_err"]}])
 
         batch_df = sub.groupBy("cell_id").applyInPandas(
             fit, schema=("cell_id bigint, n bigint, linear_scan boolean, "
-                         "knot_keys array<double>, knot_pos array<double>"))
+                         "knot_keys array<double>, knot_pos array<double>, "
+                         "avg_err double, max_err double"))
         (batch_df.write.mode("overwrite" if not manifest.done_cells else "append")
          .parquet(model_path))
 

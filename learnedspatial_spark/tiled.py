@@ -190,7 +190,7 @@ class TiledSpatialEngine:
     def pip(self, polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
         """Q5 point-in-polygon counts over the materialized index: polygon
         bbox -> candidate cells -> pruned scan -> exact ray cast in place."""
-        from oracle.oracle import ray_cast_inside
+        from .operators.probes import ray_cast_inside
         polymap: dict[int, list[int]] = {}
         for gid, (vx, vy) in polygons.items():
             bb = (min(vx), min(vy), max(vx), max(vy))
@@ -290,32 +290,42 @@ class TiledSpatialEngine:
 
     def range_materialize(self, rects: list[tuple], refine: str = "learned") -> DataFrame:
         """(query_id, url, x, y) hit rows, shuffle-free (no aggregation at
-        all: the output IS the probe output)."""
+        all: the output IS the probe output).  ``refine`` selects the
+        in-cell candidate-run search: the broadcast learned models
+        (SplineCell analog) or plain binary search — result-identical, same
+        shared ``probes.range_bounds`` path as range_count."""
         cellmap: dict[int, list[int]] = {}
         for qi, (qid, fx, fy, tx, ty) in enumerate(rects):
             for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
                 cellmap.setdefault(int(c), []).append(qi)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
+        models_bc = self._models() if refine == "learned" else None
 
         def probe(it):
             for pdf in it:
                 if not len(pdf):
                     continue
+                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     qidx = cellmap.get(int(cell))
                     if not qidx:
                         continue
-                    xs = grp["x"].to_numpy()
-                    ys = grp["y"].to_numpy()
-                    urls = grp["url"].to_numpy()
-                    for t in np.asarray(qidx, dtype=np.int64):
-                        m = ((xs >= q[t, 0]) & (xs <= q[t, 2])
-                             & (ys >= q[t, 1]) & (ys <= q[t, 3]))
-                        if m.any():
+                    order, xs, ys = probes.sort_cell(grp["x"].to_numpy(), grp["y"].to_numpy())
+                    urls = grp[id_col].to_numpy()[order]
+                    qi = np.asarray(qidx, dtype=np.int64)
+                    fx, fy, tx, ty = q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3]
+                    knots = models_bc.value.get(int(cell)) if models_bc is not None else None
+                    contained = probes.contained_mask(xs, ys, fx, fy, tx, ty)
+                    lo, hi = probes.range_bounds(ys, fy, ty, knots)
+                    for j in range(qi.shape[0]):
+                        sel = probes.range_select_cell(xs, ys, fx, fy, tx, ty, j, lo, hi, contained)
+                        if sel.size:
                             yield pd.DataFrame({
-                                "query_id": np.full(int(m.sum()), qids[t], dtype=np.int64),
-                                "url": urls[m], "x": xs[m], "y": ys[m]})
+                                "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
+                                "url": urls[sel], "x": xs[sel], "y": ys[sel]})
 
+        id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+                        if f.name not in ("x", "y", "cell_id"))
         return self._pruned_scan(list(cellmap)).mapInPandas(
-            probe, schema="query_id bigint, url string, x double, y double")
+            probe, schema=f"query_id bigint, url {id_field.dataType.simpleString()}, x double, y double")

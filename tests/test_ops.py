@@ -72,17 +72,41 @@ def test_simhash_hamming():
     assert d_ab < d_ac
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_codecs_roundtrip():
+    """Real decoders: BMP and WAV byte-level round trips."""
+    import numpy as np
+
+    from learnedspatial_spark.operators import multimodal as mm
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+    small = mm.resample_nearest(px, 5, 4)
+    assert small.shape == (4, 5, 3)
+    samples = rng.integers(-30000, 30000, size=333).astype(np.int16)
+    got, rate = mm.decode_wav(mm.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(got, samples)
+
+
+def test_multimodal_real_decode_features(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     from learnedspatial_spark.operators import multimodal
     media = multimodal.attach_fake_media(docs)
-    feats = multimodal.extract_features(media)
-    rows = feats.collect()
+    rows = multimodal.extract_features(media).collect()
     assert len(rows) == docs.count()
-    assert all(len(r["feat"]) == 8 for r in rows[:20])
+    for r in rows:
+        did = r["doc_id"]
+        if r["media_type"] == "image/bmp":
+            # decoded dims + mean must equal the closed-form parameters
+            assert r["width"] == did % 64 + 1 and r["height"] == did % 48 + 1
+            assert r["mean_v"] == (did % 256 + did * 7 % 256 + did * 13 % 256) / 3.0
+        elif r["media_type"] == "audio/wav":
+            assert r["width"] == did % 100 + 1 and r["height"] == 8000
+            assert r["mean_v"] == float(did % 20000 - 10000)
+        else:  # honest stub: compressed video has no decoder
+            assert (r["width"], r["height"], r["mean_v"]) == (-1, -1, -1.0)
     # deterministic across runs
     rows2 = multimodal.extract_features(media).collect()
-    assert {r["doc_id"]: r["feat"] for r in rows} == {r["doc_id"]: r["feat"] for r in rows2}
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     frames = multimodal.frame_sample_plan(media).groupBy("doc_id").count().collect()
     assert len(frames) > 0
 
@@ -132,17 +156,25 @@ def test_embedding_neardup_pairs_symmetric_threshold(spark):
 
 
 def test_multimodal_resize_dims_and_determinism(spark):
+    import numpy as np
+
     from learnedspatial_spark.operators import multimodal
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     media = multimodal.attach_fake_media(docs)
-    rows = multimodal.resize_images(media, max_dim=100).collect()
+    rows = multimodal.resize_images(media, max_dim=20).collect()
     assert len(rows) > 0
     for r in rows:
-        # aspect-preserving, never upscaled, longest side <= 100
-        assert 1 <= r["out_w"] <= min(r["width"], 100)
-        assert 1 <= r["out_h"] <= min(r["height"], 100)
-        assert max(r["out_w"], r["out_h"]) <= 100
-        assert len(bytes(r["resized"])) == 32
-    rows2 = multimodal.resize_images(media, max_dim=100).collect()
+        # aspect-preserving, never upscaled, longest side <= 20
+        assert 1 <= r["out_w"] <= min(r["width"], 20)
+        assert 1 <= r["out_h"] <= min(r["height"], 20)
+        assert max(r["out_w"], r["out_h"]) <= 20
+        # the resized payload is a REAL BMP at the target dims, and a
+        # nearest-neighbor resample of a solid color keeps the color
+        px = multimodal.decode_bmp(bytes(r["resized"]))
+        assert px.shape == (r["out_h"], r["out_w"], 3)
+        did = r["doc_id"]
+        assert np.array_equal(px[0, 0], [did % 256, did * 7 % 256, did * 13 % 256])
+        assert (px == px[0, 0]).all()
+    rows2 = multimodal.resize_images(media, max_dim=20).collect()
     assert {r["doc_id"]: bytes(r["resized"]) for r in rows} == \
            {r["doc_id"]: bytes(r["resized"]) for r in rows2}
