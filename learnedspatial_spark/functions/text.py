@@ -81,27 +81,69 @@ def fingerprint_md5_sql(text_expr: str) -> str:
     return f"md5({text_expr})"
 
 
-# ------------------------------------------------- NumPy/pandas kernels ---
+# --------------------------------------------------- rolling fingerprint ---
+#
+# Rabin-Karp content fingerprint: min over all ``window``-char windows of
+# the polynomial hash fold (acc*B + code) % M.  M = 2^31-1 keeps every
+# intermediate < 2^40 — exact in bigint/int64 in Spark SQL, DuckDB, and
+# NumPy, so all three implementations agree bit-for-bit (ASCII corpus:
+# ascii() = code point in both engines).
 
-def rolling_hash_np(texts: pd.Series, window: int = 16, mod: int = (1 << 61) - 1, base: int = 257) -> np.ndarray:
-    """Rabin-Karp rolling-hash document fingerprint: min rolling hash over
-    byte windows (a robust content-defined fingerprint; engine-only surface,
-    checked rows-only by the driver)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+ROLLING_WINDOW = 16
+ROLLING_BASE = 257
+ROLLING_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint_spark_expr(text_expr: str, window: int = ROLLING_WINDOW) -> str:
+    """Spark SQL: higher-order aggregate fold per window, array_min over
+    window starts — whole-stage JVM, no Python."""
+    B, M = ROLLING_BASE, ROLLING_MOD
+    full = (f"aggregate(sequence(1, length({text_expr})), cast(0 as bigint), "
+            f"(acc, i) -> (acc * {B} + ascii(substring({text_expr}, i, 1))) % {M})")
+    win = (f"array_min(transform(sequence(1, length({text_expr}) - {window - 1}), "
+           f"i -> aggregate(sequence(i, i + {window - 1}), cast(0 as bigint), "
+           f"(acc, j) -> (acc * {B} + ascii(substring({text_expr}, j, 1))) % {M})))")
+    return f"(case when length({text_expr}) < {window} then {full} else {win} end)"
+
+
+def rolling_fingerprint_duckdb_sql(text_expr: str, window: int = ROLLING_WINDOW) -> str:
+    """DuckDB twin: list_reduce folds (prepend the 0 init), list min."""
+    B, M = ROLLING_BASE, ROLLING_MOD
+
+    def fold(lo: str, hi: str) -> str:
+        return (f"list_reduce(list_prepend(cast(0 as bigint), "
+                f"list_transform(range({lo}, {hi}), "
+                f"j -> cast(ascii(substring({text_expr}, cast(j as int), 1)) as bigint))), "
+                f"(acc, c) -> (acc * {B} + c) % {M})")
+
+    full = fold("1", f"length({text_expr}) + 1")
+    win = (f"list_aggregate(list_transform(range(1, length({text_expr}) - {window - 2}), "
+           f"i -> list_reduce(list_prepend(cast(0 as bigint), "
+           f"list_transform(range(i, i + {window}), "
+           f"j -> cast(ascii(substring({text_expr}, cast(j as int), 1)) as bigint))), "
+           f"(acc, c) -> (acc * {B} + c) % {M})), 'min')")
+    return f"(case when length({text_expr}) < {window} then {full} else {win} end)"
+
+
+def rolling_hash_np(texts: pd.Series, window: int = ROLLING_WINDOW,
+                    mod: int = ROLLING_MOD, base: int = ROLLING_BASE) -> np.ndarray:
+    """NumPy kernel twin of the SQL fingerprint (tests cross-check the
+    three implementations).  Vectorized: per-window polynomial sums stay
+    < 2^43, exact in int64."""
+    out = np.empty(len(texts), dtype=np.int64)
+    powers = np.array([pow(base, window - 1 - j, mod) for j in range(window)], dtype=np.int64)
     for i, t in enumerate(texts.to_numpy()):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
         if b.shape[0] < window:
-            h = np.uint64(0)
+            h = 0
             for c in b:
-                h = (h * np.uint64(base) + c) % np.uint64(mod)
+                h = (h * base + int(c)) % mod
             out[i] = h
             continue
-        # rolling windows via cumulative polynomial trick (vectorized)
-        powers = np.array([pow(base, window - 1 - j, mod) for j in range(window)], dtype=np.uint64)
         n_win = b.shape[0] - window + 1
         idx = np.arange(n_win)[:, None] + np.arange(window)[None, :]
-        h = (b[idx].astype(np.object_) * powers[None, :].astype(np.object_)).sum(axis=1) % mod
-        out[i] = np.uint64(h.min())
+        h = (b[idx] * powers[None, :]).sum(axis=1) % mod
+        out[i] = int(h.min())
     return out
 
 

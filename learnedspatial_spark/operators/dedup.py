@@ -206,3 +206,133 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 4)
     """Exact all-pairs n-gram Jaccard >= threshold via LSH candidates with
     aggressive banding (recall-oriented: 32 bands of 2 rows)."""
     return minhash_dedup_pairs(docs, threshold=threshold, num_perm=64, bands=32, ngram=ngram)
+
+
+# -------------------------------------------- md5 MinHash (oracle-checkable) ---
+#
+# Same shingle->signature->band->bucket pipeline as the splitmix variant
+# above, but every step is a JVM Column expression built from md5 + integer
+# arithmetic that DuckDB evaluates bit-identically — so the LSH candidate
+# set AND the exact-Jaccard refine have a full SQL twin (the driver's
+# rows+schema+hash gate).  Shingles are hashed (md5 48-bit prefix mod p);
+# Jaccard is computed over the hashed shingle sets on BOTH sides, so the
+# two engines agree exactly.
+
+MINHASH_P = 2147483647  # 2^31 - 1: products a*h stay < 2^62 (exact bigint)
+
+
+def minhash_perm_coeffs(num_perm: int = 64, seed: int = 40503) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients sig_j = min((a_j*h + b_j) % p)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_perm)
+    b = rng.integers(0, MINHASH_P, size=num_perm)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
+def hex12_expr(hcol: str = "h") -> str:
+    """First 12 hex chars of an md5 digest column as a 48-bit bigint —
+    pure instr/substring arithmetic, identical in Spark SQL and DuckDB."""
+    terms = " + ".join(
+        f"cast(instr('0123456789abcdef', substring({hcol}, {c + 1}, 1)) - 1 as bigint) * {16 ** (11 - c)}"
+        for c in range(12))
+    return f"cast({terms} as bigint)"
+
+
+def shingle_hashes_md5(docs: DataFrame, ngram: int = 4) -> DataFrame:
+    """(doc_id, hm) distinct hashed char-n-gram shingles: md5 of each n-gram
+    position, 48-bit prefix mod p.  One wide scan -> explode -> distinct;
+    at 100 TB the distinct is a hash aggregation keyed by (doc_id, hm)."""
+    return (docs
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - (ngram - 1), F.lit(1)))).alias("i"),
+                    "text")
+            .select("doc_id",
+                    F.md5(F.expr(f"cast(substring(text, i, {ngram}) as binary)")).alias("h"))
+            .select("doc_id", F.expr(f"({hex12_expr('h')}) % {MINHASH_P}").alias("hm"))
+            .distinct())
+
+
+def minhash_md5_pairs(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, ngram: int = 4, seed: int = 40503) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, jaccard) with an exact DuckDB
+    twin: md5-hashed shingles -> num_perm min-hash signatures (one hash
+    aggregate, num_perm min columns) -> band keys -> bucket-grouped
+    candidate pairs -> exact Jaccard over the hashed shingle sets
+    (hash-join intersection counts; candidate count, not corpus count,
+    bounds the refine).  No self-join over the corpus at any step."""
+    a, b = minhash_perm_coeffs(num_perm, seed)
+    rows_per_band = num_perm // bands
+    sh = shingle_hashes_md5(docs, ngram)
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.expr(f"min(({a[j]} * hm + {b[j]}) % {MINHASH_P})").alias(f"sig{j}")
+          for j in range(num_perm)])
+    band_keys = [
+        F.concat_ws(",", *[F.col(f"sig{bnd * rows_per_band + r}").cast("string")
+                           for r in range(rows_per_band)])
+        for bnd in range(bands)]
+    bands_df = sigs.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
+    pairs_in_bucket = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
+    cand = (bands_df.groupBy("band", "bkey")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode(pairs_in_bucket).alias("p"))
+            .where(F.col("p.doc_a") != F.col("p.doc_b"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    A = sh.select(F.col("doc_id").alias("doc_a"), F.col("hm").alias("hma"))
+    B = sh.select(F.col("doc_id").alias("doc_b"), F.col("hm").alias("hma"))
+    inter = (cand.join(A, "doc_a").join(B, ["doc_b", "hma"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    from ..sqlcompat import flit
+    return (inter.join(sza, "doc_a").join(szb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+                        .cast("double"))
+            .where(F.expr(f"jaccard >= {flit(threshold)}"))
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8, ngram: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs — the scale path for simhash dedup,
+    fully oracle-checkable: band the 64-bit signature into 4x16-bit keys
+    (a pair within Hamming distance 3 must agree on >= 1 band; wider
+    distances trade recall), candidate pairs only form inside a band
+    bucket, refine with the exact popcount Hamming distance.  Output
+    (doc_a, doc_b, hamming) with hamming <= max_hamming."""
+    sim = simhash_md5_table(docs, ngram)
+    band_vals = [
+        "pmod(sim_lo, 65536)",
+        "cast(floor(sim_lo / 65536.0) as bigint)",
+        "pmod(sim_hi, 65536)",
+        "cast(floor(sim_hi / 65536.0) as bigint)",
+    ]
+    bands_df = sim.select("doc_id",
+                          F.posexplode(F.array(*[F.expr(v) for v in band_vals]))
+                          .alias("band", "bkey"))
+    pairs_in_bucket = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
+    cand = (bands_df.groupBy("band", "bkey")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode(pairs_in_bucket).alias("p"))
+            .where(F.col("p.doc_a") != F.col("p.doc_b"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
+    A = sim.select(F.col("doc_id").alias("doc_a"), F.col("sim_lo").alias("lo_a"),
+                   F.col("sim_hi").alias("hi_a"))
+    B = sim.select(F.col("doc_id").alias("doc_b"), F.col("sim_lo").alias("lo_b"),
+                   F.col("sim_hi").alias("hi_b"))
+    return (cand.join(A, "doc_a").join(B, "doc_b")
+            .withColumn("hamming",
+                        F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("bigint"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -71,39 +71,69 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 8128) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def dot_literal_expr(col: str, weights: list[float]) -> str:
+    """Sequential-fold dot product of an array column with a literal vector
+    — ``aggregate(zip_with(...))`` folds left-to-right JVM-side, matching
+    DuckDB's ``list_inner_product`` bit-for-bit (the property the oracle
+    gate relies on)."""
+    from ..sqlcompat import flit
+    arr = "array(" + ", ".join(flit(w) for w in weights) + ")"
+    return (f"aggregate(zip_with({col}, {arr}, (x, p) -> cast(x as double) * p), "
+            f"cast(0 as double), (acc, v) -> acc + v)")
+
+
+def lsh_bucket_expr(col: str, planes: list[list[float]]) -> str:
+    """Random-hyperplane bucket id: bit j set iff dot(v, plane_j) > 0.
+    Pure Column expression over literal planes — identical in DuckDB with
+    list_inner_product."""
+    terms = " + ".join(
+        f"(case when ({dot_literal_expr(col, p)}) > {flit_zero()} then {1 << j} else 0 end)"
+        for j, p in enumerate(planes))
+    return f"cast({terms} as bigint)"
+
+
+def flit_zero() -> str:
+    from ..sqlcompat import flit
+    return flit(0.0)
+
+
 def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 8, dim: int = 64, seed: int = 8128) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets; probe only the
     query's bucket.  Recall < 1 by design — the scale path when brute force
-    is too expensive; same output schema as brute_cosine_topk."""
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    def bucket_fn(col: str):
-        def fn(it):
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf[col].to_numpy()).astype(np.float64)
-                signs = (m @ planes.T) > 0
-                b = np.zeros(m.shape[0], dtype=np.int64)
-                for j in range(n_planes):
-                    b |= signs[:, j].astype(np.int64) << j
-                out = pdf[[c for c in pdf.columns if c != col]].copy()
-                out["bucket"] = b
-                out[col] = pdf[col]
-                yield out
-        return fn
-
-    emb_b = emb.mapInPandas(bucket_fn("embedding"),
-                            schema="vec_id bigint, label int, bucket bigint, embedding array<float>")
-    q_b = queries.mapInPandas(bucket_fn("qvec"),
-                              schema="query_id bigint, bucket bigint, qvec array<float>")
+    is too expensive; same output schema as brute_cosine_topk.  Bucketing
+    and scoring are pure JVM folds over literal planes, so the whole query
+    has an exact DuckDB twin (entrylib)."""
+    planes = _hyperplanes(dim, n_planes, seed).tolist()
+    emb_b = emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
+    q_b = queries.withColumn("bucket", F.expr(lsh_bucket_expr("qvec", planes)))
     j = emb_b.join(F.broadcast(q_b), "bucket")
     scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", F.col("rnk").cast("bigint").alias("rnk"), "vec_id"))
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.35,
+                          n_planes: int = 8, dim: int = 64, seed: int = 8128) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path GRADED by the
+    contract: candidates only form inside one hyperplane bucket (equi-join
+    on bucket, never a corpus x corpus nested-loop join), refined by the
+    exact cosine fold.  Recall < 1 vs the all-pairs baseline by design
+    (:func:`embedding_neardup_pairs` is the small-scale validation twin);
+    the DuckDB oracle reproduces the identical bucketing, so the pair set
+    is exact-checkable."""
+    from ..sqlcompat import flit
+    planes = _hyperplanes(dim, n_planes, seed).tolist()
+    emb_b = emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
+    a = emb_b.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb_b.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    return (a.join(b, "bucket")
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .where(_cosine_col("ea", "eb") >= F.expr(flit(threshold)))
+            # each vector lives in exactly one bucket -> pairs already unique
+            .select("vec_id_a", "vec_id_b"))
 
 
 # ----------------------------------------------------------- IVF ANN ---
@@ -129,49 +159,56 @@ def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 8,
     return cent
 
 
+def ivf_fit_centroids(sample: np.ndarray, n_centroids: int, seed: int = 8128) -> list[list[float]]:
+    """Normalize the sample and run the deterministic mini k-means.  Shared
+    by the engine (Spark-collected sample) and the oracle builder
+    (DuckDB-fetched sample) — both hand in the same float64 rows, so the
+    centroid literals match bit-for-bit."""
+    sample = np.asarray(sample, dtype=np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    return _kmeans_lite(sample, n_centroids, seed=seed).tolist()
+
+
+def ivf_scores_expr(col: str, centroids: list[list[float]]) -> str:
+    """Array of fold dot products against the literal centroid matrix."""
+    return "array(" + ", ".join(dot_literal_expr(col, c) for c in centroids) + ")"
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
-             sample_rows: int = 4096, seed: int = 8128) -> DataFrame:
+             sample_rows: int = 4096, seed: int = 8128,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: a coarse k-means quantizer (fit on a bounded
     deterministic driver sample — the only driver-side state, O(centroids x
     dim)) routes every vector to its nearest centroid ("inverted list");
     each query probes only its ``n_probe`` nearest lists.  At 100 TB the
     inverted-list id is the shuffle/partition key, the centroid matrix is a
-    tiny broadcast, and per-query work drops from corpus-size to
-    ~n_probe/n_centroids of it.  Output schema matches brute_cosine_topk;
-    recall < 1 by design (tested with a recall floor, not equality)."""
-    # deterministic sample: limit without ordering varies across runs /
-    # partitionings, which would make centroids (hence recall) run-dependent
-    sample = np.stack(
-        [np.asarray(r[0], dtype=np.float64)
-         for r in emb.select("vec_id", "embedding").orderBy("vec_id")
-         .limit(sample_rows).select("embedding").collect()])
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cent = _kmeans_lite(sample, n_centroids, seed=seed)
-
-    def assign_fn(col: str, topn: int):
-        def fn(it):
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf[col].to_numpy()).astype(np.float64)
-                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                sims = mn @ cent.T
-                lists = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
-                base = pdf[[c for c in pdf.columns if c != col]]
-                frames = []
-                for j in range(topn):
-                    f = base.copy()
-                    f["list_id"] = lists[:, j].astype(np.int64)
-                    f[col] = pdf[col]
-                    frames.append(f)
-                yield pd.concat(frames)
-        return fn
-
-    emb_l = emb.select("vec_id", "embedding").mapInPandas(
-        assign_fn("embedding", 1), schema="vec_id bigint, list_id bigint, embedding array<float>")
-    q_l = queries.mapInPandas(
-        assign_fn("qvec", n_probe), schema="query_id bigint, list_id bigint, qvec array<float>")
+    tiny literal broadcast, and per-query work drops from corpus-size to
+    ~n_probe/n_centroids of it.  Assignment/probing are pure JVM folds over
+    the centroid literals (argmax of raw dot products — scale-invariant, so
+    no per-vector normalization is needed), giving the whole query an exact
+    DuckDB twin.  Output schema matches brute_cosine_topk; recall < 1 by
+    design (tested with a recall floor, not equality)."""
+    if centroids is None:
+        # deterministic sample: limit without ordering varies across runs /
+        # partitionings, which would make centroids run-dependent
+        sample = np.stack(
+            [np.asarray(r[0], dtype=np.float64)
+             for r in emb.select("vec_id", "embedding").orderBy("vec_id")
+             .limit(sample_rows).select("embedding").collect()])
+        centroids = ivf_fit_centroids(sample, n_centroids, seed)
+    emb_l = (emb.select("vec_id", "embedding")
+             .withColumn("scores", F.expr(ivf_scores_expr("embedding", centroids)))
+             .withColumn("list_id",
+                         F.expr("cast(array_position(scores, array_max(scores)) - 1 as bigint)"))
+             .drop("scores"))
+    q_l = (queries
+           .withColumn("scores", F.expr(ivf_scores_expr("qvec", centroids)))
+           .select("query_id", "qvec", F.posexplode("scores").alias("c", "s"))
+           .withColumn("r", F.row_number().over(
+               Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("c"))))
+           .where(F.col("r") <= n_probe)
+           .select("query_id", F.col("c").cast("bigint").alias("list_id"), "qvec"))
     j = emb_l.join(F.broadcast(q_l), "list_id")
     scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
