@@ -269,10 +269,19 @@ class SpatialEngine:
         k = F.coalesce(mapping[F.col("cell_id")], F.lit(1))
         return df.withColumn("salt", F.pmod(F.hash("pid"), k))
 
-    def _probe_groups(self) -> tuple[DataFrame, list[str]]:
-        if self.salt_rows:
-            return self.salted_points(), ["cell_id", "salt"]
-        return self.assigned_points(), ["cell_id"]
+    def _probe_groups(self, candidate_cells=None) -> tuple[DataFrame, list[str]]:
+        """Probe input + grouping keys.  ``candidate_cells`` prunes the
+        scan JVM-side BEFORE any Python worker sees a row — the in-session
+        analog of the tiled engine's partition pruning (the reference's
+        LookUp routing): a one-rect query feeds only its few candidate
+        cells through Arrow, not the whole corpus.  The filter preserves
+        the cached hash-partitioning on cell_id, so the probe still runs
+        without a fresh exchange."""
+        df, keys = ((self.salted_points(), ["cell_id", "salt"]) if self.salt_rows
+                    else (self.assigned_points(), ["cell_id"]))
+        if candidate_cells is not None:
+            df = df.where(F.col("cell_id").isin([int(c) for c in candidate_cells]))
+        return df, keys
 
     def model_table(self) -> DataFrame:
         """Fit the per-cell learned models ONCE as a DataFrame job (the
@@ -371,7 +380,7 @@ class SpatialEngine:
             cnt = probes.range_count_cell(xs, ys, fx, fy, tx, ty, knots)
             return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
-        gdf, keys = self._probe_groups()
+        gdf, keys = self._probe_groups(cellmap)
         parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         return parts
 
@@ -484,7 +493,7 @@ class SpatialEngine:
                     probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], qrad[t]))
             return pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
-        gdf, keys = self._probe_groups()
+        gdf, keys = self._probe_groups(cellmap)
         parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         if materialize:
             return parts
@@ -545,7 +554,7 @@ class SpatialEngine:
             return pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
                                  col: np.asarray(out_v, dtype=np.int64)})
 
-        gdf, keys = self._probe_groups()
+        gdf, keys = self._probe_groups(polymap)
         parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         if pairs:
             return parts
@@ -601,7 +610,7 @@ class SpatialEngine:
                     "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]}))
             return pd.concat(frames) if frames else probe(key, pdf.iloc[:0])
 
-        gdf, keys = self._probe_groups()
+        gdf, keys = self._probe_groups(cellmap)
         parts = gdf.groupBy(*keys).applyInPandas(
             probe, schema="query_id bigint, pid bigint, d2 double, px double, py double")
         # global top-k: per-query merge of the per-cell partial top-ks via

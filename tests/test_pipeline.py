@@ -26,6 +26,10 @@ def test_build_tiled_index_and_resume(spark, tmp_path):
     tiled = spark.read.parquet(res1["tiled_path"])
     assert tiled.count() == 3000
     models = {r["cell_id"]: r for r in spark.read.parquet(res1["model_path"]).collect()}
+    # L5 model-quality metrics (SplineUtil.h:25-52 analog) ride the model
+    # table and respect the fit bound
+    for m in models.values():
+        assert 0.0 <= m["avg_err"] <= m["max_err"] <= spl.SPLINE_EPSILON + 1e-9
     some = tiled.where(F.col("cell_id").isin(list(models)[:3])).collect()
     by_cell = {}
     for r in some:
@@ -137,6 +141,10 @@ def test_tiled_engine_query_parity(spark, tmp_path):
     rows = eng.range_materialize(rects[:2]).collect()
     n0 = sum(1 for r in rows if r["query_id"] == 0)
     assert n0 == want[0]
+    # refine wiring: the learned (broadcast-models) and binary-search
+    # materialize paths return the identical row set
+    rows_b = eng.range_materialize(rects[:2], refine="binsearch").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows_b))
 
     # partition pruning visible in the physical plan
     import io
