@@ -78,6 +78,9 @@ def main() -> None:
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
 
     engq = SpatialEngine(spark, sf_dir, scheme="quadtree", refine="learned")
+    # build-once: cache this scheme's routed assignment like the fixed-grid
+    # engine above (otherwise every query re-runs the Python routing pass)
+    timed("build_assign_quadtree", lambda: engq.assigned_points().cache().count())
     engq.range_count(rects[:2]).collect()  # warm this scheme's probe path too
     timed("q_range_count_quadtree", lambda: engq.range_count(rects).collect())
 
@@ -101,9 +104,14 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("q_dedup_exact", lambda: dedup.dedup_exact(docs).count())
     timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, broadcast_texts=True).count())
+    timed("q_minhash_md5_pairs", lambda: dedup.minhash_md5_pairs(docs, threshold=0.5).count())
+    timed("q_simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())
+    timed("q_lsh_ann_topk", lambda: similarity.lsh_bucket_topk(emb, q, k=10).count())
+    timed("q_ivf_ann_topk", lambda: similarity.ivf_topk(emb, q, k=10).count())
+    timed("q_embedding_neardup_lsh", lambda: similarity.embedding_neardup_lsh(emb, threshold=0.35).count())
 
     # p50 single-query latency (BASELINE.md operational target): each
     # measurement is one full engine job for one rectangle — planning +

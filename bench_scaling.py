@@ -6,19 +6,21 @@ input).
 
 Methodology
 -----------
-* Input: the sf0.1 lineitem replicated 48x (28.8M points) into a temp
+* Input: the sf0.1 lineitem replicated 96x (57.6M points) into a temp
   parquet, partition_size=8000 (the reference's tuned-knob example,
   README.md:62-63) — sized so per-cell probe compute dominates fixed job
   costs (at raw sf0.1 a probe job is ~70% constant overhead and no
   parallelism level helps; scaling claims only mean something in the
-  compute-dominated regime, which is also the 100 TB regime).
+  compute-dominated regime, which is also the 100 TB regime).  This VM's
+  run-to-run wall noise is ±15-20% on sub-15s jobs; the larger input puts
+  every measured wall well past that.
 * Engine job: fixed-grid learned index; measured workloads are the
   BASELINE metrics — the PIP spatial join (2,000 polygons), the distance
   join (600 radius queries), and range count (1,804 rectangles).  Build,
   assignment shuffle and model fit run before the timer (the reference
   splits build(ms) vs ns/lookup the same way, src/main.cpp:129-130).
 * Warm-up pass first (Python worker pool spawn is lazily per-core and
-  would bill the 4N run ~4x the spawn cost), then best-of-2 per workload.
+  would bill the 4N run ~4x the spawn cost), then best-of-3 per workload.
 * Pairs measured: N=4 -> 4N=16 (primary) and N=8 -> 4N=32 (secondary).
   The box has 32 physical cores but a SINGLE JVM + driver + 32 Python
   workers saturate the socket beyond ~16 task slots (memory bandwidth +
@@ -40,7 +42,7 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SCALE_INPUT = os.environ.get("SPARK_GRAFT_SCALE_INPUT", "/tmp/learnedspatial_scale_input")
-REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "48"))
+REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96"))
 # the reference's partition-size knob must be tuned per dataset/workload
 # (README.md:62-63, example uses 8000); at the scale-run's input size 1000
 # leaves ~30k tiny cells whose per-group overhead dominates — 8000 puts the
@@ -96,7 +98,7 @@ jobs = {{
 for j in jobs.values():
     j()  # warm python worker pool + shuffle reuse
 best = {{}}
-for _ in range(2):
+for _ in range(3):
     for name, j in jobs.items():
         t0 = time.perf_counter(); j()
         w = time.perf_counter() - t0
@@ -149,7 +151,7 @@ def main() -> None:
 Sandbox evidence per driver instruction: the identical engine job at two
 parallelism levels on the same input ({rows:,} points = sf0.1 lineitem
 replicated x{REPLICATION}; fixed-grid learned index; build/assignment/model
-fit excluded from the timers; warm best-of-2 per workload).
+fit excluded from the timers; warm best-of-3 per workload).
 
 | workload | local[4] | local[16] | eff 4->16 | local[8] | local[32] | eff 8->32 |
 |---|---|---|---|---|---|---|

@@ -280,7 +280,14 @@ class SpatialEngine:
         df, keys = ((self.salted_points(), ["cell_id", "salt"]) if self.salt_rows
                     else (self.assigned_points(), ["cell_id"]))
         if candidate_cells is not None:
-            df = df.where(F.col("cell_id").isin([int(c) for c in candidate_cells]))
+            # selectivity gate: a broad batch workload that routes to most
+            # cells gains nothing from the filter but still pays a full
+            # InSet scan of the corpus — only prune when the candidate set
+            # is actually selective
+            total = max(1, self.partitioner.num_cells())
+            cells = [int(c) for c in candidate_cells]
+            if len(cells) < 0.5 * total:
+                df = df.where(F.col("cell_id").isin(cells))
         return df, keys
 
     def model_table(self) -> DataFrame:

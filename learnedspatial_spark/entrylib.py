@@ -164,27 +164,28 @@ def _cleanup_tiled_roots() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _tiled_engine(spark, sf_dir):
-    """Build (once per sf_dir, memoized) and open the materialized tiled
-    index — the production build-once/query-many path inside the graded
-    contract.  The TiledSpatialEngine instance itself is memoized (keyed
-    like _eng) so the model-table broadcast is reused across entries; temp
-    index roots are removed at interpreter exit."""
+def _tiled_engine(spark, sf_dir, scheme: str = "fixed_grid"):
+    """Build (once per (sf_dir, scheme), memoized) and open the
+    materialized tiled index — the production build-once/query-many path
+    inside the graded contract.  The TiledSpatialEngine instance itself is
+    memoized (keyed like _eng) so the model-table broadcast is reused
+    across entries; temp index roots are removed at interpreter exit."""
     import atexit
     import tempfile
 
     from .pipeline import build_tiled_index
     from .sources.points import points_df
     from .tiled import TiledSpatialEngine
-    root = _TILED_ROOTS.get(sf_dir)
+    rkey = f"{sf_dir}:{scheme}"
+    root = _TILED_ROOTS.get(rkey)
     if root is None:
         if not _TILED_ROOTS:
             atexit.register(_cleanup_tiled_roots)
         root = tempfile.mkdtemp(prefix="lsp_contract_tiled_")
-        build_tiled_index(spark, None, root, points_df=points_df(spark, sf_dir),
-                          partition_size=1000)
-        _TILED_ROOTS[sf_dir] = root
-    key = (spark.sparkContext.applicationId, sf_dir)
+        build_tiled_index(spark, None, root, scheme=scheme,
+                          points_df=points_df(spark, sf_dir), partition_size=1000)
+        _TILED_ROOTS[rkey] = root
+    key = (spark.sparkContext.applicationId, rkey)
     e = _TILED_ENGINES.get(key)
     if e is None:
         e = TiledSpatialEngine(spark, root)
@@ -198,6 +199,21 @@ def _range_count_tiled(spark, sf_dir):
 
 def _knn_tiled(spark, sf_dir):
     return _tiled_engine(spark, sf_dir).knn(_knnq())
+
+
+def _range_count_tiled_str(spark, sf_dir):
+    """Tiled STR index end to end (regression guard for the empty-mbrs
+    routing bug): the rank-tiled materialization must answer range counts
+    identically to the full-scan oracle."""
+    return _tiled_engine(spark, sf_dir, scheme="str").range_count(_rects())
+
+
+def _distance_materialize_tiled(spark, sf_dir):
+    return _tiled_engine(spark, sf_dir).distance_materialize(_circles())
+
+
+def _pip_pairs_tiled(spark, sf_dir):
+    return _tiled_engine(spark, sf_dir).pip(_polys(), pairs=True)
 
 
 def _dedup_exact(spark, sf_dir):
@@ -446,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["range_count_fixed_grid_salted"] = _range_count_salted
     out["range_count_tiled"] = _range_count_tiled
     out["knn_tiled"] = _knn_tiled
+    out["range_count_tiled_str"] = _range_count_tiled_str
+    out["distance_materialize_tiled"] = _distance_materialize_tiled
+    out["pip_pairs_tiled"] = _pip_pairs_tiled
     out["pip_count"] = _pip_count
     out["pip_pairs"] = _pip_pairs
     out["knn"] = _knn
@@ -674,19 +693,32 @@ def _simhash_md5_core_sql(ngram: int = 3) -> str:
 
 
 def _simhash_neardup_sql(max_hamming: int = _SIMHASH_HMAX) -> str:
+    """Twin of dedup.simhash_neardup_pairs including the identical-
+    signature cluster collapse (result-identical to the naive band+refine
+    over all docs)."""
     return (
         f"WITH {_simhash_md5_core_sql()}, "
+        "cl AS (SELECT sim_lo, sim_hi, min(doc_id) AS rep, "
+        "  list_sort(list(doc_id)) AS members FROM sim GROUP BY sim_lo, sim_hi), "
+        "intra AS (SELECT x.a AS doc_a, y.b AS doc_b, cast(0 as bigint) AS hamming "
+        "  FROM cl, LATERAL unnest(cl.members) AS x(a), LATERAL unnest(cl.members) AS y(b) "
+        "  WHERE x.a < y.b), "
         "b AS ("
-        "  SELECT doc_id, 0 AS band, sim_lo % 65536 AS bkey FROM sim UNION ALL "
-        "  SELECT doc_id, 1, cast(floor(sim_lo / 65536.0) as bigint) FROM sim UNION ALL "
-        "  SELECT doc_id, 2, sim_hi % 65536 FROM sim UNION ALL "
-        "  SELECT doc_id, 3, cast(floor(sim_hi / 65536.0) as bigint) FROM sim), "
+        "  SELECT rep AS doc_id, 0 AS band, sim_lo % 65536 AS bkey FROM cl UNION ALL "
+        "  SELECT rep, 1, cast(floor(sim_lo / 65536.0) as bigint) FROM cl UNION ALL "
+        "  SELECT rep, 2, sim_hi % 65536 FROM cl UNION ALL "
+        "  SELECT rep, 3, cast(floor(sim_hi / 65536.0) as bigint) FROM cl), "
         "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
-        "  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
-        "SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, "
-        "cast(bit_count(xor(a.sim_lo, z.sim_lo)) + bit_count(xor(a.sim_hi, z.sim_hi)) as bigint) AS hamming "
-        "FROM cand c JOIN sim a ON a.doc_id = c.doc_a JOIN sim z ON z.doc_id = c.doc_b "
-        f"WHERE bit_count(xor(a.sim_lo, z.sim_lo)) + bit_count(xor(a.sim_hi, z.sim_hi)) <= {max_hamming}")
+        "  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), "
+        "rp AS (SELECT c.doc_a, c.doc_b, "
+        "  cast(bit_count(xor(a.sim_lo, z.sim_lo)) + bit_count(xor(a.sim_hi, z.sim_hi)) as bigint) AS hamming "
+        "  FROM cand c JOIN cl a ON a.rep = c.doc_a JOIN cl z ON z.rep = c.doc_b "
+        f" WHERE bit_count(xor(a.sim_lo, z.sim_lo)) + bit_count(xor(a.sim_hi, z.sim_hi)) <= {max_hamming}), "
+        "inter AS (SELECT least(xa.a, yb.b) AS doc_a, greatest(xa.a, yb.b) AS doc_b, rp.hamming "
+        "  FROM rp JOIN cl ca ON ca.rep = rp.doc_a JOIN cl cb ON cb.rep = rp.doc_b, "
+        "  LATERAL unnest(ca.members) AS xa(a), LATERAL unnest(cb.members) AS yb(b)) "
+        "SELECT doc_a, doc_b, hamming FROM intra "
+        "UNION ALL SELECT doc_a, doc_b, hamming FROM inter")
 
 
 def _minhash_sql(threshold: float, num_perm: int, bands: int, ngram: int) -> str:
@@ -701,9 +733,10 @@ def _minhash_sql(threshold: float, num_perm: int, bands: int, ngram: int) -> str
         f"concat_ws(',', {', '.join(f'sig{bnd * rpb + r}' for r in range(rpb))}) AS bkey FROM sigs"
         for bnd in range(bands))
     return (
-        "WITH g AS ("
-        f"  SELECT d.doc_id, md5(substring(d.text, t.i, {ngram})) AS h"
-        f"  FROM documents d, LATERAL unnest(generate_series(1, greatest(length(d.text) - {ngram - 1}, 1))) AS t(i)), "
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "g AS ("
+        f"  SELECT tk.doc_id, md5(array_to_string(list_slice(tk.toks, t.i, t.i + {ngram - 1}), ' ')) AS h"
+        f"  FROM tk, LATERAL unnest(generate_series(1, greatest(len(tk.toks) - {ngram - 1}, 1))) AS t(i)), "
         f"sh AS (SELECT DISTINCT doc_id, ({dedup.hex12_expr('h')}) % {p} AS hm FROM g), "
         f"sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
         f"bnds AS ({band_selects}), "
@@ -804,7 +837,10 @@ def oracle_sql() -> dict[str, str]:
     out["point_lookup_quadtree"] = _point_lookup_sql()
     out["range_count_fixed_grid_salted"] = rc
     out["range_count_tiled"] = rc
+    out["range_count_tiled_str"] = rc
     out["knn_tiled"] = _knn_sql()
+    out["distance_materialize_tiled"] = _distance_materialize_sql()
+    out["pip_pairs_tiled"] = _pip_pairs_sql()
     out["distance_count"] = _distance_count_sql()
     out["distance_materialize"] = _distance_materialize_sql()
     out["pip_count"] = _pip_count_sql()

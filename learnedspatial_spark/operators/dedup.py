@@ -167,7 +167,11 @@ def _simhash_sign_expr_lit(j: int) -> str:
     """SIMHASH_SIGN_EXPR with the bit index ``j`` substituted as a literal:
     bit j lives in hex char j//4 (1-based) at weight 2^(3 - j%4).  Same
     arithmetic as the shared fragment, so results stay bit-identical with
-    the DuckDB oracle."""
+    the DuckDB oracle.  Deliberately ONE substring+instr per aggregate:
+    pre-parsing the digest into integer halves reads nicer but Catalyst
+    inlines the parse into every aggregate expression (alias substitution
+    under Aggregate), multiplying the per-row string work 8x — measured
+    16x slower end to end."""
     c = j // 4 + 1
     w = 2 ** (3 - (j % 4))
     return (f"case when floor((instr('0123456789abcdef', substring(h, {c}, 1)) - 1) "
@@ -176,22 +180,22 @@ def _simhash_sign_expr_lit(j: int) -> str:
 
 def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, sim_lo, sim_hi) — 64-bit SimHash over char-n-gram md5
-    hashes, computed ENTIRELY with JVM Column expressions (no Python): the
-    text explodes to one row per n-gram position, md5 hashes JVM-side, and
-    ONE hash aggregation per doc computes all 64 per-bit ±1 sums as 64
-    aggregate columns (map-side partial aggregation; plan rows = docs x
-    n-grams — no 64-way join blow-up).  Cross-engine-checkable
-    (``entrylib`` carries the DuckDB twin), unlike :func:`simhash_table`
-    whose splitmix mixing needs uint64 wraparound SQL can't express.
+    hashes, computed ENTIRELY with JVM Column expressions (no Python):
+    per doc the n-gram digests are built inside ONE ``transform`` (the
+    generator never replicates the text column) and ONE hash aggregation
+    per doc computes all 64 per-bit ±1 sums as aggregate columns
+    (map-side partial aggregation; no 64-way join blow-up).
+    Cross-engine-checkable (``entrylib`` carries the DuckDB twin), unlike
+    :func:`simhash_table` whose splitmix mixing needs uint64 wraparound
+    SQL can't express.
 
     At 100 TB this is a single wide scan -> one hash aggregation keyed by
     doc_id; no driver state, no UDF."""
-    g = (docs.select(
-            "doc_id",
-            F.explode(F.sequence(
-                F.lit(1), F.greatest(F.length("text") - (ngram - 1), F.lit(1)))).alias("i"),
-            "text")
-         .select("doc_id", F.md5(F.expr(f"cast(substring(text, i, {ngram}) as binary)")).alias("h")))
+    g = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {ngram - 1}, 1)), "
+            f"i -> md5(cast(substring(text, i, {ngram}) as binary)))")).alias("h"))
     bits = g.groupBy("doc_id").agg(
         *[F.sum(F.expr(_simhash_sign_expr_lit(j))).alias(f"s{j}") for j in range(64)])
     lo = " + ".join(f"(case when s{j} > 0 then {1 << j} else 0 end)" for j in range(32))
@@ -239,16 +243,21 @@ def hex12_expr(hcol: str = "h") -> str:
 
 
 def shingle_hashes_md5(docs: DataFrame, ngram: int = 4) -> DataFrame:
-    """(doc_id, hm) distinct hashed char-n-gram shingles: md5 of each n-gram
-    position, 48-bit prefix mod p.  One wide scan -> explode -> distinct;
-    at 100 TB the distinct is a hash aggregation keyed by (doc_id, hm)."""
+    """(doc_id, hm) distinct hashed TOKEN-n-gram shingles: md5 of each
+    n-token window (space-joined), 48-bit prefix mod p.  Token shingles,
+    not char shingles — over a template-like web corpus char n-grams from
+    a small vocabulary make every document pair look similar (observed:
+    candidate sets within a constant of all-pairs), while token windows
+    keep the shingle space discriminative.  One wide scan -> explode ->
+    distinct; at 100 TB the distinct is a hash aggregation keyed by
+    (doc_id, hm)."""
     return (docs
-            .select("doc_id",
-                    F.explode(F.sequence(
-                        F.lit(1), F.greatest(F.length("text") - (ngram - 1), F.lit(1)))).alias("i"),
-                    "text")
-            .select("doc_id",
-                    F.md5(F.expr(f"cast(substring(text, i, {ngram}) as binary)")).alias("h"))
+            .select("doc_id", F.split("text", " ", -1).alias("toks"))
+            # digests built inside one transform so the generator emits
+            # small hex strings, never a per-row copy of the token array
+            .select("doc_id", F.explode(F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {ngram - 1}, 1)), "
+                f"i -> md5(cast(array_join(slice(toks, i, {ngram}), ' ') as binary)))")).alias("h"))
             .select("doc_id", F.expr(f"({hex12_expr('h')}) % {MINHASH_P}").alias("hm"))
             .distinct())
 
@@ -304,18 +313,43 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8, ngram: int = 3)
     fully oracle-checkable: band the 64-bit signature into 4x16-bit keys
     (a pair within Hamming distance 3 must agree on >= 1 band; wider
     distances trade recall), candidate pairs only form inside a band
-    bucket, refine with the exact popcount Hamming distance.  Output
-    (doc_a, doc_b, hamming) with hamming <= max_hamming."""
+    bucket, refine with the exact popcount Hamming distance.
+
+    Documents with IDENTICAL signatures collapse into one cluster first
+    (web corpora have huge identical-signature clusters; every member pair
+    is hamming 0, so banding + refining them individually is a pure d^2
+    blow-up): the band/refine machinery runs over distinct signatures only
+    and cluster pairs expand at output — result-identical to the naive
+    formulation.  Output (doc_a, doc_b, hamming), hamming <= max_hamming."""
     sim = simhash_md5_table(docs, ngram)
+    # the cluster table is O(#distinct signatures) and feeds SIX branches
+    # (intra, bands, both refine sides, both expansion sides).  An eager
+    # localCheckpoint materializes it once AND truncates the logical plan —
+    # without it each branch re-embeds the 64-aggregate signature subtree
+    # and Catalyst's analysis of the six-way self-referencing union blows
+    # up super-linearly (observed 20x wall on 5k docs).
+    clusters = (sim.groupBy("sim_lo", "sim_hi")
+                .agg(F.min("doc_id").alias("rep"),
+                     F.sort_array(F.collect_list("doc_id")).alias("members"))
+                .localCheckpoint(eager=True))
+    # intra-cluster: identical signature -> hamming 0
+    intra_pairs = F.expr(
+        "flatten(transform(members, (a, i) -> "
+        "transform(slice(members, i + 2, size(members)), b -> "
+        "struct(a AS doc_a, b AS doc_b))))")  # members sorted -> a < b
+    intra = (clusters.where(F.size("members") > 1)
+             .select(F.explode(intra_pairs).alias("p"))
+             .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming")))
     band_vals = [
         "pmod(sim_lo, 65536)",
         "cast(floor(sim_lo / 65536.0) as bigint)",
         "pmod(sim_hi, 65536)",
         "cast(floor(sim_hi / 65536.0) as bigint)",
     ]
-    bands_df = sim.select("doc_id",
-                          F.posexplode(F.array(*[F.expr(v) for v in band_vals]))
-                          .alias("band", "bkey"))
+    reps = clusters.select("rep", "sim_lo", "sim_hi")
+    bands_df = reps.select(F.col("rep").alias("doc_id"),
+                           F.posexplode(F.array(*[F.expr(v) for v in band_vals]))
+                           .alias("band", "bkey"))
     pairs_in_bucket = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), b -> "
@@ -327,12 +361,21 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8, ngram: int = 3)
             .where(F.col("p.doc_a") != F.col("p.doc_b"))
             .select("p.doc_a", "p.doc_b")
             .distinct())
-    A = sim.select(F.col("doc_id").alias("doc_a"), F.col("sim_lo").alias("lo_a"),
-                   F.col("sim_hi").alias("hi_a"))
-    B = sim.select(F.col("doc_id").alias("doc_b"), F.col("sim_lo").alias("lo_b"),
-                   F.col("sim_hi").alias("hi_b"))
-    return (cand.join(A, "doc_a").join(B, "doc_b")
-            .withColumn("hamming",
-                        F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("bigint"))
-            .where(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    A = reps.select(F.col("rep").alias("doc_a"), F.col("sim_lo").alias("lo_a"),
+                    F.col("sim_hi").alias("hi_a"))
+    B = reps.select(F.col("rep").alias("doc_b"), F.col("sim_lo").alias("lo_b"),
+                    F.col("sim_hi").alias("hi_b"))
+    rep_pairs = (cand.join(A, "doc_a").join(B, "doc_b")
+                 .withColumn("hamming",
+                             F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("bigint"))
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("doc_a", "doc_b", "hamming"))
+    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("ma"))
+    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("mb"))
+    cross_members = F.expr(
+        "flatten(transform(ma, a -> transform(mb, b -> "
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
+    inter = (rep_pairs.join(ca, "doc_a").join(cb, "doc_b")
+             .select(F.explode(cross_members).alias("p"), "hamming")
+             .select("p.doc_a", "p.doc_b", "hamming"))
+    return intra.unionByName(inter)

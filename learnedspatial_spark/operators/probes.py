@@ -110,21 +110,27 @@ def ray_cast_inside(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
 
     Rule per edge (p1, p2): crossing iff p.y in (min(y1,y2), max(y1,y2)]
     and p.x <= max(x1,x2) and y1 != y2 and (x1 == x2 or p.x <= xinters);
-    inside = odd crossing count (join.h:37)."""
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    crossings = np.zeros(px.shape[0], dtype=np.int64)
-    for i in range(len(vx) - 1):
-        x1, y1 = float(vx[i]), float(vy[i])
-        x2, y2 = float(vx[i + 1]), float(vy[i + 1])
-        if y1 == y2:
-            continue
-        m = (py > min(y1, y2)) & (py <= max(y1, y2)) & (px <= max(x1, x2))
-        if x1 == x2:
-            crossings += m
-        else:
+    inside = odd crossing count (join.h:37).
+
+    Vectorized points x edge-chunk matrix; chunking caps the working set
+    so huge polygons never allocate an unbounded P x E matrix."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    ex1 = np.asarray(vx[:-1], dtype=np.float64)
+    ey1 = np.asarray(vy[:-1], dtype=np.float64)
+    ex2 = np.asarray(vx[1:], dtype=np.float64)
+    ey2 = np.asarray(vy[1:], dtype=np.float64)
+    n_pts = px.shape[0]
+    crossings = np.zeros(n_pts, dtype=np.int64)
+    chunk = max(16, int(4_000_000 // max(1, n_pts)))
+    for s in range(0, ex1.shape[0], chunk):
+        x1, y1 = ex1[s:s + chunk][None, :], ey1[s:s + chunk][None, :]
+        x2, y2 = ex2[s:s + chunk][None, :], ey2[s:s + chunk][None, :]
+        cond = ((py > np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+                & (px <= np.maximum(x1, x2)) & (y1 != y2))
+        with np.errstate(divide="ignore", invalid="ignore"):
             xinters = (py - y1) * (x2 - x1) / (y2 - y1) + x1
-            crossings += m & (px <= xinters)
+        crossings += (cond & ((x1 == x2) | (px <= xinters))).sum(axis=1)
     return (crossings % 2).astype(bool)
 
 

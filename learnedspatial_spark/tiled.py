@@ -142,6 +142,14 @@ class TiledSpatialEngine:
         """Q4 radius count over the materialized index: Matuschek bbox ->
         pruned scan, haversine refine in-place (same semantics as
         SpatialEngine.distance_count)."""
+        return self._distance(circles, materialize=False)
+
+    def distance_materialize(self, circles: list[tuple]) -> DataFrame:
+        """Q4 materializing form over the index: (query_id, pid) refined
+        hit rows, shuffle-free (the probe output IS the result)."""
+        return self._distance(circles, materialize=True)
+
+    def _distance(self, circles: list[tuple], materialize: bool) -> DataFrame:
         import math as _math
 
         from .functions import geo
@@ -167,6 +175,7 @@ class TiledSpatialEngine:
             for pdf in it:
                 if not len(pdf):
                     continue
+                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     qidx = cellmap.get(int(cell))
                     if not qidx:
@@ -174,12 +183,26 @@ class TiledSpatialEngine:
                     xs = grp["x"].to_numpy()
                     ys = grp["y"].to_numpy()
                     qi = np.asarray(qidx, dtype=np.int64)
+                    if materialize:
+                        pids = grp[id_col].to_numpy()
+                        for t in qi:
+                            hit = pids[probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], rad[t])]
+                            if hit.size:
+                                yield pd.DataFrame({
+                                    "query_id": np.full(hit.size, qid_arr[t], dtype=np.int64),
+                                    "pid": hit})
+                        continue
                     cnt = np.empty(qi.shape[0], dtype=np.int64)
                     for j, t in enumerate(qi):
                         cnt[j] = np.count_nonzero(
                             probes.distance_mask_cell(xs, ys, qlat[t], qlon[t], rad[t]))
                     yield pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
+        if materialize:
+            id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+                            if f.name not in ("x", "y", "cell_id"))
+            return self._pruned_scan(list(cellmap)).mapInPandas(
+                probe, schema=f"query_id bigint, pid {id_field.dataType.simpleString()}")
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
             probe, schema="query_id bigint, cnt bigint")
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
@@ -187,9 +210,12 @@ class TiledSpatialEngine:
         return qdf.join(agg, "query_id", "left").select(
             "query_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
 
-    def pip(self, polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
-        """Q5 point-in-polygon counts over the materialized index: polygon
-        bbox -> candidate cells -> pruned scan -> exact ray cast in place."""
+    def pip(self, polygons: dict[int, tuple[list[float], list[float]]],
+            pairs: bool = False) -> DataFrame:
+        """Q5 point-in-polygon over the materialized index: polygon bbox ->
+        candidate cells -> pruned scan -> exact ray cast in place.  Counts
+        by default; ``pairs`` yields the (polygon_id, pid) containment rows
+        shuffle-free."""
         from .operators.probes import ray_cast_inside
         polymap: dict[int, list[int]] = {}
         for gid, (vx, vy) in polygons.items():
@@ -202,22 +228,39 @@ class TiledSpatialEngine:
             for pdf in it:
                 if not len(pdf):
                     continue
+                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     gids = polymap.get(int(cell))
                     if not gids:
                         continue
                     px = grp["x"].to_numpy()
                     py = grp["y"].to_numpy()
+                    pids = grp[id_col].to_numpy() if pairs else None
                     out_g, out_c = [], []
                     for gid in gids:
                         vx, vy = polys[gid]
                         cand = np.flatnonzero(probes.pip_candidates(px, py, vx, vy))
-                        n_in = int(ray_cast_inside(px[cand], py[cand], vx, vy).sum()) if cand.size else 0
-                        out_g.append(gid)
-                        out_c.append(n_in)
-                    yield pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
-                                        "cnt": np.asarray(out_c, dtype=np.int64)})
+                        inside = np.zeros(px.shape[0], dtype=bool)
+                        if cand.size:
+                            inside[cand] = ray_cast_inside(px[cand], py[cand], vx, vy)
+                        if pairs:
+                            hit = pids[inside]
+                            if hit.size:
+                                yield pd.DataFrame({
+                                    "polygon_id": np.full(hit.size, gid, dtype=np.int64),
+                                    "pid": hit})
+                        else:
+                            out_g.append(gid)
+                            out_c.append(int(inside.sum()))
+                    if not pairs and out_g:
+                        yield pd.DataFrame({"polygon_id": np.asarray(out_g, dtype=np.int64),
+                                            "cnt": np.asarray(out_c, dtype=np.int64)})
 
+        if pairs:
+            id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+                            if f.name not in ("x", "y", "cell_id"))
+            return self._pruned_scan(list(polymap)).mapInPandas(
+                probe, schema=f"polygon_id bigint, pid {id_field.dataType.simpleString()}")
         parts = self._pruned_scan(list(polymap)).mapInPandas(
             probe, schema="polygon_id bigint, cnt bigint")
         agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))

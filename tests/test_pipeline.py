@@ -183,9 +183,17 @@ def test_tiled_engine_full_query_surface(spark, tmp_path):
     b = sorted(tuple(r) for r in eng.distance_count(circles).collect())
     assert a == b
 
+    a = sorted(tuple(r) for r in teng.distance_materialize(circles).collect())
+    b = sorted(tuple(r) for r in eng.distance_materialize(circles).collect())
+    assert a == b
+
     polys = wl.polygons(n=8)
     a = sorted(tuple(r) for r in teng.pip(polys).collect())
     b = sorted(tuple(r) for r in eng.pip(polys).collect())
+    assert a == b
+
+    a = sorted(tuple(r) for r in teng.pip(polys, pairs=True).collect())
+    b = sorted(tuple(r) for r in eng.pip(polys, pairs=True).collect())
     assert a == b
 
     knnq = wl.knn_queries(n=8)
