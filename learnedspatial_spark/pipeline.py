@@ -34,6 +34,7 @@ from .operators.partitioning import (
     Partitioner,
     QuadtreePartitioner,
 )
+from .ops import storage
 from .ops.checkpoint import CheckpointManifest, run_resumable_cells
 from .ops.lineage import RunLog, cell_metrics
 
@@ -120,11 +121,12 @@ def build_tiled_index(
 
     # phase 2: tiled table, partitioned by cell_id (idempotent overwrite)
     tiled_path = os.path.join(out_root, "points_tiled")
-    (assigned.repartition("cell_id")
-     .sortWithinPartitions("y", "x")  # the reference's per-cell (y,x) sort
-     .write.mode("overwrite").partitionBy("cell_id").parquet(tiled_path))
+    storage.write_partitioned(
+        assigned.repartition("cell_id")
+        .sortWithinPartitions("y", "x"),  # the reference's per-cell (y,x) sort
+        tiled_path, "cell_id")
 
-    tiled = spark.read.parquet(tiled_path)
+    tiled = storage.read_table(spark, tiled_path)
     cells = [r["cell_id"] for r in tiled.select("cell_id").distinct().collect()]
 
     # phase 3: model fit, cell-granular resume
@@ -146,19 +148,19 @@ def build_tiled_index(
             fit, schema=("cell_id bigint, n bigint, linear_scan boolean, "
                          "knot_keys array<double>, knot_pos array<double>, "
                          "avg_err double, max_err double"))
-        (batch_df.write.mode("overwrite" if not manifest.done_cells else "append")
-         .parquet(model_path))
+        storage.write_table(batch_df, model_path,
+                            mode="overwrite" if not manifest.done_cells else "append")
 
     fitted = run_resumable_cells(manifest, cells, fit_batch, batch_size=fit_batch_cells)
 
     # phase 4: stats + lineage
     stats_path = os.path.join(out_root, "cell_stats")
-    cell_metrics(tiled).write.mode("overwrite").parquet(stats_path)
+    storage.write_table(cell_metrics(tiled), stats_path)
     if scheme == "str":
         # STR routes by per-cell MBRs (rank-based assignment has no closed
         # form): fill the spec from the stats table and refresh the manifest
         # so TiledSpatialEngine prunes real candidate cells, not [].
-        srows = sorted(spark.read.parquet(stats_path).collect(), key=lambda r: r["cell_id"])
+        srows = sorted(storage.read_table(spark, stats_path).collect(), key=lambda r: r["cell_id"])
         part.mbrs = [[int(r["cell_id"]), float(r["minx"]), float(r["miny"]),
                       float(r["maxx"]), float(r["maxy"])] for r in srows]
         manifest.partitioner_spec = part.to_spec()

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .operators import probes
 from .operators import spline as spl
 from .operators.partitioning import Partitioner
+from .ops import storage
 
 
 class TiledSpatialEngine:
@@ -55,7 +56,7 @@ class TiledSpatialEngine:
             # list would silently prune EVERY cell — rebuild routing state
             # from the persisted cell_stats table instead.
             srows = sorted(
-                spark.read.parquet(os.path.join(index_root, "cell_stats")).collect(),
+                storage.read_table(spark, os.path.join(index_root, "cell_stats")).collect(),
                 key=lambda r: r["cell_id"])
             self.partitioner.mbrs = [
                 [int(r["cell_id"]), float(r["minx"]), float(r["miny"]),
@@ -67,7 +68,7 @@ class TiledSpatialEngine:
     def _models(self):
         """Broadcast {cell_id: (knot_keys, knot_pos)} once per engine."""
         if self._models_bc is None:
-            rows = self.spark.read.parquet(os.path.join(self.root, "models")).collect()
+            rows = storage.read_table(self.spark, os.path.join(self.root, "models")).collect()
             m = {int(r["cell_id"]): (np.asarray(r["knot_keys"]), np.asarray(r["knot_pos"]))
                  for r in rows if not r["linear_scan"]}
             self._models_bc = self.spark.sparkContext.broadcast(m)
@@ -78,7 +79,7 @@ class TiledSpatialEngine:
     def _pruned_scan(self, cells: list[int]) -> DataFrame:
         # isin on the partition column -> PartitionFilters in the scan node:
         # non-candidate cell directories are never listed or opened
-        return (self.spark.read.parquet(self.tiled_path)
+        return (storage.read_table(self.spark, self.tiled_path)
                 .where(F.col("cell_id").isin([int(c) for c in cells])))
 
     def range_count(self, rects: list[tuple], refine: str = "learned") -> DataFrame:
@@ -199,7 +200,7 @@ class TiledSpatialEngine:
                     yield pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
         if materialize:
-            id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+            id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
                             if f.name not in ("x", "y", "cell_id"))
             return self._pruned_scan(list(cellmap)).mapInPandas(
                 probe, schema=f"query_id bigint, pid {id_field.dataType.simpleString()}")
@@ -257,7 +258,7 @@ class TiledSpatialEngine:
                                             "cnt": np.asarray(out_c, dtype=np.int64)})
 
         if pairs:
-            id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+            id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
                             if f.name not in ("x", "y", "cell_id"))
             return self._pruned_scan(list(polymap)).mapInPandas(
                 probe, schema=f"polygon_id bigint, pid {id_field.dataType.simpleString()}")
@@ -273,7 +274,7 @@ class TiledSpatialEngine:
         stats table drive the same exact pruning as SpatialEngine.knn; the
         per-cell top-k partials come from the pruned scan, the per-query
         merge is the one small shuffle."""
-        stats = self.spark.read.parquet(os.path.join(self.root, "cell_stats")).collect()
+        stats = storage.read_table(self.spark, os.path.join(self.root, "cell_stats")).collect()
         ids = np.asarray([r["cell_id"] for r in stats], dtype=np.int64)
         minx = np.asarray([r["minx"] for r in stats])
         miny = np.asarray([r["miny"] for r in stats])
@@ -368,7 +369,7 @@ class TiledSpatialEngine:
                                 "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
                                 "url": urls[sel], "x": xs[sel], "y": ys[sel]})
 
-        id_field = next(f for f in self.spark.read.parquet(self.tiled_path).schema.fields
+        id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
                         if f.name not in ("x", "y", "cell_id"))
         return self._pruned_scan(list(cellmap)).mapInPandas(
             probe, schema=f"query_id bigint, url {id_field.dataType.simpleString()}, x double, y double")
