@@ -337,12 +337,14 @@ class SpatialEngine:
 
     # ---------------------------------------------------------- range Qs ---
 
-    def _range_probe(self, rects: list[tuple], materialize: bool) -> DataFrame:
+    def _range_probe(self, rects: list[tuple], materialize: bool,
+                     cellmap: dict[int, list[int]] | None = None) -> DataFrame:
         refine = self.refine
         # pre-fit knots index the FULL cell's sorted order — unusable for
         # salted sub-groups, so fall back to in-probe fit when salting
         models = self._models if not self.salt_rows else None
-        cellmap = self._cell_query_map(rects)
+        if cellmap is None:
+            cellmap = self._cell_query_map(rects)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         if materialize:
@@ -393,13 +395,40 @@ class SpatialEngine:
 
     def range_count(self, rects: list[tuple]) -> DataFrame:
         """Q2 range count (src/main.cpp:134-191): (query_id, cnt) with 0 for
-        empty queries."""
-        parts = self._range_probe(rects, materialize=False)
+        empty queries.
+
+        The reference's fully-contained-cell shortcut (Spline.hpp:67-75)
+        is applied at the ROUTING level: a candidate cell whose data bbox
+        lies inside the query rectangle contributes its cached count from
+        the O(#cells) stats table with no data touched; only boundary
+        cells enter the distributed probe.  For broad rectangles this
+        removes most of the scan (a whole-domain query probes nothing)."""
+        cellmap = self._cell_query_map(rects)
+        s = self.cell_stats()
+        idx = {int(c): i for i, c in enumerate(s.ids)}
+        base = np.zeros(len(rects), dtype=np.int64)
+        boundary: dict[int, list[int]] = {}
+        for cell, qis in cellmap.items():
+            i = idx.get(cell)
+            if i is None:
+                continue  # candidate id with no data rows
+            for qi in qis:
+                _, fx, fy, tx, ty = rects[qi]
+                if (fx <= s.minx[i] and tx >= s.maxx[i]
+                        and fy <= s.miny[i] and ty >= s.maxy[i]):
+                    base[qi] += int(s.count[i])
+                else:
+                    boundary.setdefault(cell, []).append(qi)
+        parts = self._range_probe(rects, materialize=False, cellmap=boundary)
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
-        qdf = self.spark.createDataFrame([(r[0],) for r in rects], "query_id bigint")
+        qdf = self.spark.createDataFrame(
+            [(r[0], int(base[i])) for i, r in enumerate(rects)],
+            "query_id bigint, base bigint")
         return (
             qdf.join(agg, "query_id", "left")
-            .select("query_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
+            .select("query_id",
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("base"))
+                    .cast("bigint").alias("cnt"))
         )
 
     def range_materialize(self, rects: list[tuple]) -> DataFrame:

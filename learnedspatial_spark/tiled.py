@@ -82,13 +82,49 @@ class TiledSpatialEngine:
         return (storage.read_table(self.spark, self.tiled_path)
                 .where(F.col("cell_id").isin([int(c) for c in cells])))
 
+    def _cell_stats_np(self):
+        """Memoized O(#cells) stats arrays from the persisted stats table
+        (bbox + count per cell) — routing/shortcut material."""
+        if getattr(self, "_stats_np", None) is None:
+            rows = sorted(
+                storage.read_table(self.spark, os.path.join(self.root, "cell_stats")).collect(),
+                key=lambda r: r["cell_id"])
+            self._stats_np = {
+                "ids": np.asarray([r["cell_id"] for r in rows], dtype=np.int64),
+                "minx": np.asarray([r["minx"] for r in rows]),
+                "miny": np.asarray([r["miny"] for r in rows]),
+                "maxx": np.asarray([r["maxx"] for r in rows]),
+                "maxy": np.asarray([r["maxy"] for r in rows]),
+                "count": np.asarray([r["rows_in_cell"] for r in rows], dtype=np.int64),
+            }
+        return self._stats_np
+
     def range_count(self, rects: list[tuple], refine: str = "learned") -> DataFrame:
         """(query_id, cnt) with 0 for empty queries — same semantics as
-        SpatialEngine.range_count, shuffle-free probe."""
-        cellmap: dict[int, list[int]] = {}
+        SpatialEngine.range_count, shuffle-free probe.  Fully-contained
+        candidate cells (Spline.hpp:67-75 shortcut, applied at routing)
+        contribute their persisted stats counts without being scanned —
+        the partition pruning then skips interior cell directories
+        entirely; only boundary cells are read."""
+        full: dict[int, list[int]] = {}
         for qi, (qid, fx, fy, tx, ty) in enumerate(rects):
             for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
-                cellmap.setdefault(int(c), []).append(qi)
+                full.setdefault(int(c), []).append(qi)
+        s = self._cell_stats_np()
+        idx = {int(c): i for i, c in enumerate(s["ids"])}
+        base = np.zeros(len(rects), dtype=np.int64)
+        cellmap: dict[int, list[int]] = {}
+        for cell, qis in full.items():
+            i = idx.get(cell)
+            if i is None:
+                continue
+            for qi in qis:
+                _, fx, fy, tx, ty = rects[qi]
+                if (fx <= s["minx"][i] and tx >= s["maxx"][i]
+                        and fy <= s["miny"][i] and ty >= s["maxy"][i]):
+                    base[qi] += int(s["count"][i])
+                else:
+                    cellmap.setdefault(cell, []).append(qi)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         models_bc = self._models() if refine == "learned" else None
@@ -113,10 +149,13 @@ class TiledSpatialEngine:
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
             probe, schema="query_id bigint, cnt bigint")
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
-        qdf = self.spark.createDataFrame([(r[0],) for r in rects], "query_id bigint")
+        qdf = self.spark.createDataFrame(
+            [(r[0], int(base[i])) for i, r in enumerate(rects)],
+            "query_id bigint, base bigint")
         return (qdf.join(agg, "query_id", "left")
                 .select("query_id",
-                        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")))
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("base"))
+                        .cast("bigint").alias("cnt")))
 
     def point_lookup(self, pts: list[tuple]) -> DataFrame:
         """Q3 fetch-one over the materialized index — entirely JVM: pruned
@@ -274,13 +313,9 @@ class TiledSpatialEngine:
         stats table drive the same exact pruning as SpatialEngine.knn; the
         per-cell top-k partials come from the pruned scan, the per-query
         merge is the one small shuffle."""
-        stats = storage.read_table(self.spark, os.path.join(self.root, "cell_stats")).collect()
-        ids = np.asarray([r["cell_id"] for r in stats], dtype=np.int64)
-        minx = np.asarray([r["minx"] for r in stats])
-        miny = np.asarray([r["miny"] for r in stats])
-        maxx = np.asarray([r["maxx"] for r in stats])
-        maxy = np.asarray([r["maxy"] for r in stats])
-        count = np.asarray([r["rows_in_cell"] for r in stats], dtype=np.int64)
+        s = self._cell_stats_np()
+        ids, minx, miny, maxx, maxy, count = (
+            s["ids"], s["minx"], s["miny"], s["maxx"], s["maxy"], s["count"])
         cellmap: dict[int, list[int]] = {}
         for qi_i, (qid, qx, qy, k) in enumerate(queries):
             dx = np.maximum(np.maximum(minx - qx, qx - maxx), 0.0)
