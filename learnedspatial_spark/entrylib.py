@@ -154,6 +154,20 @@ def _polygon_tiles(spark, sf_dir):
     return eng.polygon_tiles(_polys())
 
 
+def _morton_rollup(spark, sf_dir):
+    """Hierarchical tile rollup (H3/S2-style): per-parent-cell aggregates
+    at level L-1 from the level-L assignment — parent = cell >> 2
+    (MortonPartitioner.parent).  One map-side-combinable aggregation; at
+    100 TB successive rollup levels are each a tiny re-aggregation of the
+    previous level's output, never a rescan."""
+    eng = _eng(spark, sf_dir, "morton")
+    return (eng.assigned_points()
+            .groupBy(F.expr("shiftright(cell_id, 2)").alias("parent_id"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("x").alias("minx"), F.max("x").alias("maxx"),
+                 F.min("y").alias("miny"), F.max("y").alias("maxy")))
+
+
 _TILED_ROOTS: dict[str, str] = {}
 _TILED_ENGINES: dict[tuple, object] = {}
 
@@ -469,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pip_pairs"] = _pip_pairs
     out["knn"] = _knn
     out["polygon_tiles"] = _polygon_tiles
+    out["morton_rollup"] = _morton_rollup
     out["dedup_exact"] = _dedup_exact
     out["token_count"] = _token_count
     out["quality_score"] = _quality_score
@@ -847,6 +862,12 @@ def oracle_sql() -> dict[str, str]:
     out["pip_pairs"] = _pip_pairs_sql()
     out["knn"] = _knn_sql()
     out["polygon_tiles"] = _polygon_tiles_sql()
+    morton_cell = _oracle_partitioner("morton").assign_sql("x", "y")
+    out["morton_rollup"] = (
+        f"WITH {POINTS_CTE}, a AS (SELECT ({morton_cell}) AS cell_id, x, y FROM points) "
+        "SELECT cell_id // 4 AS parent_id, count(*) AS cnt, "
+        "min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy "
+        "FROM a GROUP BY cell_id // 4")
     out["dedup_exact"] = ("SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups "
                           "FROM documents GROUP BY text")
     out["token_count"] = f"SELECT doc_id, cast({tx.token_count_sql('text')} as bigint) AS n_tokens FROM documents"
