@@ -18,6 +18,13 @@ range-bucketed two-phase plan:
 
 Global rank = offset + local rank — bit-identical to the single-task
 ``row_number`` for any input, with no single-partition exchange.
+
+Skew note: correctness requires value-based bucketing on the LEADING sort
+column only (ties must stay inside one bucket), so a column with one
+dominant value degenerates that bucket toward a single window partition —
+the same worst case as the bare window, never worse.  At 100 TB, key
+domains that skewed should pre-aggregate duplicates (rank of a (value,
+count) run-length table) before ranking.
 """
 
 from __future__ import annotations

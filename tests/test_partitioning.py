@@ -102,3 +102,24 @@ def test_quadtree_leaf_size():
     p = QuadtreePartitioner.build_from_points(x, y, 500)
     cells = p.assign_np(x, y)
     assert np.bincount(cells).max() <= 500
+
+
+def test_global_rank_matches_single_task_order(spark):
+    """operators/ranking.with_global_rank must equal the rank a bare
+    (single-task) sort would assign — heavy duplicate leading keys
+    included (the bucketing is value-based, so ties never straddle
+    buckets)."""
+    import numpy as np
+    from learnedspatial_spark.operators.ranking import with_global_rank
+    rng = np.random.default_rng(77)
+    n = 20000
+    # few distinct x values -> massive ties; y/pid break them
+    xs = rng.choice(np.linspace(-5, 5, 7), size=n)
+    ys = rng.uniform(-100, 100, size=n)
+    rows = [(int(i), float(xs[i]), float(ys[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "pid bigint, x double, y double").repartition(8)
+    ranked = {r["pid"]: r["rank_x"]
+              for r in with_global_rank(df, ["x", "y", "pid"], n_buckets=16).collect()}
+    order = sorted(rows, key=lambda t: (t[1], t[2], t[0]))
+    for want_rank, (pid, _, _) in enumerate(order, start=1):
+        assert ranked[pid] == want_rank
