@@ -720,9 +720,9 @@ def _simhash_neardup_sql(max_hamming: int = _SIMHASH_HMAX) -> str:
         "  WHERE x.a < y.b), "
         "b AS ("
         "  SELECT rep AS doc_id, 0 AS band, sim_lo % 65536 AS bkey FROM cl UNION ALL "
-        "  SELECT rep, 1, cast(floor(sim_lo / 65536.0) as bigint) FROM cl UNION ALL "
+        "  SELECT rep, 1, sim_lo // 65536 FROM cl UNION ALL "
         "  SELECT rep, 2, sim_hi % 65536 FROM cl UNION ALL "
-        "  SELECT rep, 3, cast(floor(sim_hi / 65536.0) as bigint) FROM cl), "
+        "  SELECT rep, 3, sim_hi // 65536 FROM cl), "
         "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
         "  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), "
         "rp AS (SELECT c.doc_a, c.doc_b, "

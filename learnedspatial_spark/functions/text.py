@@ -84,10 +84,11 @@ def fingerprint_md5_sql(text_expr: str) -> str:
 # --------------------------------------------------- rolling fingerprint ---
 #
 # Rabin-Karp content fingerprint: min over all ``window``-char windows of
-# the polynomial hash fold (acc*B + code) % M.  M = 2^31-1 keeps every
-# intermediate < 2^40 — exact in bigint/int64 in Spark SQL, DuckDB, and
-# NumPy, so all three implementations agree bit-for-bit (ASCII corpus:
-# ascii() = code point in both engines).
+# the polynomial hash fold (acc*B + code) % M, code = the character's
+# Unicode CODE POINT (`ascii()` returns the code point in both Spark and
+# DuckDB — verified incl. multibyte).  M = 2^31-1 keeps every intermediate
+# < 2^57 — exact in bigint/int64 in Spark SQL, DuckDB, and NumPy, so all
+# three implementations agree bit-for-bit on any text.
 
 ROLLING_WINDOW = 16
 ROLLING_BASE = 257
@@ -128,12 +129,14 @@ def rolling_fingerprint_duckdb_sql(text_expr: str, window: int = ROLLING_WINDOW)
 def rolling_hash_np(texts: pd.Series, window: int = ROLLING_WINDOW,
                     mod: int = ROLLING_MOD, base: int = ROLLING_BASE) -> np.ndarray:
     """NumPy kernel twin of the SQL fingerprint (tests cross-check the
-    three implementations).  Vectorized: per-window polynomial sums stay
-    < 2^43, exact in int64."""
+    three implementations).  Folds Unicode CODE POINTS — `ascii()` returns
+    the code point in both Spark and DuckDB, so byte-level folding would
+    diverge on any non-ASCII document.  Vectorized: per-window polynomial
+    sums stay < 2^43 + codepoint magnitude, exact in int64."""
     out = np.empty(len(texts), dtype=np.int64)
     powers = np.array([pow(base, window - 1 - j, mod) for j in range(window)], dtype=np.int64)
     for i, t in enumerate(texts.to_numpy()):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        b = np.fromiter((ord(c) for c in str(t)), dtype=np.int64, count=len(str(t)))
         if b.shape[0] < window:
             h = 0
             for c in b:

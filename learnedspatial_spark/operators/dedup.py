@@ -340,11 +340,14 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 8, ngram: int = 3)
     intra = (clusters.where(F.size("members") > 1)
              .select(F.explode(intra_pairs).alias("p"))
              .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming")))
+    # shiftright, not a bare float division: 10.0-style literals parse as
+    # DECIMAL in Spark but DOUBLE in DuckDB (flit rule); integer shifts are
+    # exactly the same non-negative value in both engines
     band_vals = [
         "pmod(sim_lo, 65536)",
-        "cast(floor(sim_lo / 65536.0) as bigint)",
+        "shiftright(sim_lo, 16)",
         "pmod(sim_hi, 65536)",
-        "cast(floor(sim_hi / 65536.0) as bigint)",
+        "shiftright(sim_hi, 16)",
     ]
     reps = clusters.select("rep", "sim_lo", "sim_hi")
     bands_df = reps.select(F.col("rep").alias("doc_id"),

@@ -47,7 +47,12 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
     seps = sorted(set(seps))
     if seps:
         terms = " + ".join(f"(case when {lead} >= {flit(s)} then 1 else 0 end)" for s in seps)
-        bucket = F.expr(f"cast({terms} as bigint)")
+        # NaN sorts AFTER +Infinity in Spark's ordering, but every
+        # `>= sep` comparison on NaN is false — route NaN to its own
+        # final bucket so the bucketed rank matches a bare window's order
+        bucket = F.expr(
+            f"cast(case when isnan(cast({lead} as double)) then {len(seps) + 1} "
+            f"else {terms} end as bigint)")
     else:
         bucket = F.lit(0).cast("bigint")
     b = df.withColumn(bucket_col, bucket)
@@ -58,10 +63,14 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
     for k in sorted(cnts):
         offsets[k] = acc
         acc += cnts[k]
-    omap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    # offsets as LONG literals: an int32 row_number + int32 offset literal
+    # would wrap at 2^31 rows — exactly the scale this module exists for
+    omap = F.create_map(*[c for k, v in offsets.items()
+                          for c in (F.lit(k).cast("long"), F.lit(v).cast("long"))])
     w = Window.partitionBy(bucket_col).orderBy(*order_cols)
     return (b.withColumn(rank_col,
-                         (F.row_number().over(w) + F.coalesce(omap[F.col(bucket_col)], F.lit(0)))
+                         (F.row_number().over(w).cast("long")
+                          + F.coalesce(omap[F.col(bucket_col)], F.lit(0).cast("long")))
                          .cast("bigint"))
             .drop(bucket_col))
 

@@ -63,6 +63,31 @@ class TiledSpatialEngine:
                  float(r["maxx"]), float(r["maxy"])] for r in srows]
         self._models_bc = None
 
+
+    # ------------------------------------------------------------ id col ---
+
+    _ID_CANDIDATES = ("pid", "url", "doc_id")
+
+    def _id_column(self):
+        """The tiled table's row-identifier column, resolved ONCE from the
+        schema: a known id name if present, else the single column that is
+        not (x, y, cell_id).  Raises if ambiguous — silently picking an
+        arbitrary extra column (weight, ts, ...) would corrupt join keys
+        downstream."""
+        if getattr(self, "_id_col", None) is None:
+            fields = storage.read_table(self.spark, self.tiled_path).schema.fields
+            named = [f for f in fields if f.name in self._ID_CANDIDATES]
+            others = [f for f in fields if f.name not in ("x", "y", "cell_id")]
+            if len(named) == 1:
+                f = named[0]
+            elif len(others) == 1:
+                f = others[0]
+            else:
+                raise ValueError(
+                    f"ambiguous id column in tiled table: {[f.name for f in others]}")
+            self._id_col = (f.name, f.dataType.simpleString())
+        return self._id_col
+
     # ------------------------------------------------------------ models ---
 
     def _models(self):
@@ -211,11 +236,12 @@ class TiledSpatialEngine:
         qlon = np.asarray([c[2] for c in circles])
         qid_arr = np.asarray(qids, dtype=np.int64)
 
+        id_col, id_type = self._id_column()
+
         def probe(it):
             for pdf in it:
                 if not len(pdf):
                     continue
-                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     qidx = cellmap.get(int(cell))
                     if not qidx:
@@ -239,10 +265,8 @@ class TiledSpatialEngine:
                     yield pd.DataFrame({"query_id": qid_arr[qi], "cnt": cnt})
 
         if materialize:
-            id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
-                            if f.name not in ("x", "y", "cell_id"))
             return self._pruned_scan(list(cellmap)).mapInPandas(
-                probe, schema=f"query_id bigint, pid {id_field.dataType.simpleString()}")
+                probe, schema=f"query_id bigint, pid {id_type}")
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
             probe, schema="query_id bigint, cnt bigint")
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
@@ -264,11 +288,12 @@ class TiledSpatialEngine:
                 polymap.setdefault(int(c), []).append(gid)
         polys = {gid: (np.asarray(vx), np.asarray(vy)) for gid, (vx, vy) in polygons.items()}
 
+        id_col, id_type = self._id_column()
+
         def probe(it):
             for pdf in it:
                 if not len(pdf):
                     continue
-                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     gids = polymap.get(int(cell))
                     if not gids:
@@ -297,10 +322,8 @@ class TiledSpatialEngine:
                                             "cnt": np.asarray(out_c, dtype=np.int64)})
 
         if pairs:
-            id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
-                            if f.name not in ("x", "y", "cell_id"))
             return self._pruned_scan(list(polymap)).mapInPandas(
-                probe, schema=f"polygon_id bigint, pid {id_field.dataType.simpleString()}")
+                probe, schema=f"polygon_id bigint, pid {id_type}")
         parts = self._pruned_scan(list(polymap)).mapInPandas(
             probe, schema="polygon_id bigint, cnt bigint")
         agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))
@@ -380,12 +403,12 @@ class TiledSpatialEngine:
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         models_bc = self._models() if refine == "learned" else None
+        id_col, id_type = self._id_column()
 
         def probe(it):
             for pdf in it:
                 if not len(pdf):
                     continue
-                id_col = next(c for c in pdf.columns if c not in ("x", "y", "cell_id"))
                 for cell, grp in pdf.groupby("cell_id", sort=False):
                     qidx = cellmap.get(int(cell))
                     if not qidx:
@@ -404,7 +427,5 @@ class TiledSpatialEngine:
                                 "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
                                 "url": urls[sel], "x": xs[sel], "y": ys[sel]})
 
-        id_field = next(f for f in storage.read_table(self.spark, self.tiled_path).schema.fields
-                        if f.name not in ("x", "y", "cell_id"))
         return self._pruned_scan(list(cellmap)).mapInPandas(
-            probe, schema=f"query_id bigint, url {id_field.dataType.simpleString()}, x double, y double")
+            probe, schema=f"query_id bigint, url {id_type}, x double, y double")
