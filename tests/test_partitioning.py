@@ -123,3 +123,23 @@ def test_global_rank_matches_single_task_order(spark):
     order = sorted(rows, key=lambda t: (t[1], t[2], t[0]))
     for want_rank, (pid, _, _) in enumerate(order, start=1):
         assert ranked[pid] == want_rank
+
+
+def test_global_rank_nan_sorts_last(spark):
+    """Spark orders NaN after +Infinity; the bucketed rank must agree."""
+    import math
+
+    import numpy as np
+    from learnedspatial_spark.operators.ranking import with_global_rank
+    rng = np.random.default_rng(5)
+    rows = [(int(i), float(v), float(rng.uniform(-1, 1)))
+            for i, v in enumerate(rng.uniform(-10, 10, size=500))]
+    rows += [(1000 + i, math.nan, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "pid bigint, x double, y double").repartition(6)
+    got = {r["pid"]: r["rank_x"]
+           for r in with_global_rank(df, ["x", "y", "pid"], n_buckets=8).collect()}
+    finite = sorted((r for r in rows if not math.isnan(r[1])),
+                    key=lambda t: (t[1], t[2], t[0]))
+    nans = sorted((r for r in rows if math.isnan(r[1])), key=lambda t: (t[2], t[0]))
+    for want, (pid, _, _) in enumerate(finite + nans, start=1):
+        assert got[pid] == want, (pid, got[pid], want)
