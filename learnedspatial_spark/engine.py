@@ -119,7 +119,9 @@ class SpatialEngine:
                 _, x, y = self._points_np()
                 self.partitioner = self._build_partitioner(x, y)
             else:
-                k = max(1, n // max(1, target))
+                # ceil division: floor would give k=1 for n in (target,
+                # 2*target) and "sample" the whole corpus to the driver
+                k = max(1, -(-n // max(1, target)))
                 samp = (self.points()
                         .where(F.pmod(F.xxhash64("pid"), F.lit(k)) == 0)
                         .select("x", "y").collect())
@@ -403,22 +405,11 @@ class SpatialEngine:
         the O(#cells) stats table with no data touched; only boundary
         cells enter the distributed probe.  For broad rectangles this
         removes most of the scan (a whole-domain query probes nothing)."""
+        from .operators.probes import split_contained_counts
         cellmap = self._cell_query_map(rects)
         s = self.cell_stats()
-        idx = {int(c): i for i, c in enumerate(s.ids)}
-        base = np.zeros(len(rects), dtype=np.int64)
-        boundary: dict[int, list[int]] = {}
-        for cell, qis in cellmap.items():
-            i = idx.get(cell)
-            if i is None:
-                continue  # candidate id with no data rows
-            for qi in qis:
-                _, fx, fy, tx, ty = rects[qi]
-                if (fx <= s.minx[i] and tx >= s.maxx[i]
-                        and fy <= s.miny[i] and ty >= s.maxy[i]):
-                    base[qi] += int(s.count[i])
-                else:
-                    boundary.setdefault(cell, []).append(qi)
+        base, boundary = split_contained_counts(
+            rects, cellmap, s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
         parts = self._range_probe(rects, materialize=False, cellmap=boundary)
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
         qdf = self.spark.createDataFrame(

@@ -926,7 +926,9 @@ def oracle_sql() -> dict[str, str]:
         "cast(case cast(doc_id % 3 as int) "
         "  when 0 then 54 + (doc_id % 48 + 1) * (((doc_id % 64 + 1) * 3 + 3) // 4 * 4) "
         "  when 1 then 44 + (doc_id % 100 + 1) * 2 "
-        "  else length(text) end as bigint) AS n_bytes, "
+        # strlen = BYTE length (Spark side measures the utf-8 payload);
+        # length() counts characters and would diverge on multibyte text
+        "  else strlen(text) end as bigint) AS n_bytes, "
         "cast(case cast(doc_id % 3 as int) when 0 then doc_id % 64 + 1 "
         "  when 1 then doc_id % 100 + 1 else -1 end as int) AS width, "
         "cast(case cast(doc_id % 3 as int) when 0 then doc_id % 48 + 1 "

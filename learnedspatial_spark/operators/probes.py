@@ -53,6 +53,29 @@ def contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty) -> np.ndarray:
             & (fy <= ys_sorted.min()) & (ty >= ys_sorted.max()))
 
 
+def split_contained_counts(rects, cellmap: dict, ids, minx, miny, maxx, maxy, count):
+    """O3 shortcut applied at ROUTING: split a query->candidate-cell map
+    against per-cell stats bboxes.  Returns (base, boundary): ``base[qi]``
+    accumulates the counts of cells whose data bbox lies fully inside
+    query qi (never scanned), ``boundary`` keeps only the (cell, query)
+    pairs that still need a probe.  Shared by the in-session and tiled
+    engines so the two paths cannot drift."""
+    idx = {int(c): i for i, c in enumerate(ids)}
+    base = np.zeros(len(rects), dtype=np.int64)
+    boundary: dict[int, list[int]] = {}
+    for cell, qis in cellmap.items():
+        i = idx.get(cell)
+        if i is None:
+            continue  # candidate id with no data rows
+        for qi in qis:
+            _, fx, fy, tx, ty = rects[qi]
+            if fx <= minx[i] and tx >= maxx[i] and fy <= miny[i] and ty >= maxy[i]:
+                base[qi] += int(count[i])
+            else:
+                boundary.setdefault(cell, []).append(qi)
+    return base, boundary
+
+
 def range_count_cell(xs_sorted, ys_sorted, fx, fy, tx, ty,
                      knots=None) -> np.ndarray:
     """Q2 per-query hit counts in one cell (arrays over queries)."""

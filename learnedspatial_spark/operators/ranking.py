@@ -47,9 +47,11 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
     seps = sorted(set(seps))
     if seps:
         terms = " + ".join(f"(case when {lead} >= {flit(s)} then 1 else 0 end)" for s in seps)
-        # NaN sorts AFTER +Infinity in Spark's ordering, but every
-        # `>= sep` comparison on NaN is false — route NaN to its own
-        # final bucket so the bucketed rank matches a bare window's order
+        # NaN sorts AFTER +Infinity in Spark's ordering AND compares as
+        # greater than every value (`NaN >= sep` is TRUE in Spark SQL, not
+        # false as in IEEE) — route NaN explicitly to its own final bucket
+        # so the behavior is pinned rather than an artifact of Spark's
+        # NaN-largest comparison semantics
         bucket = F.expr(
             f"cast(case when isnan(cast({lead} as double)) then {len(seps) + 1} "
             f"else {terms} end as bigint)")

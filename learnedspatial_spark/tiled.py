@@ -54,13 +54,13 @@ class TiledSpatialEngine:
             # defensive fallback for indexes whose manifest predates the
             # stats-filled spec: STR routes by per-cell MBRs, so an empty
             # list would silently prune EVERY cell — rebuild routing state
-            # from the persisted cell_stats table instead.
-            srows = sorted(
-                storage.read_table(spark, os.path.join(index_root, "cell_stats")).collect(),
-                key=lambda r: r["cell_id"])
+            # from the persisted cell_stats table (memoized accessor, so
+            # later range/knn calls reuse the same collect).
+            s = self._cell_stats_np()
             self.partitioner.mbrs = [
-                [int(r["cell_id"]), float(r["minx"]), float(r["miny"]),
-                 float(r["maxx"]), float(r["maxy"])] for r in srows]
+                [int(s["ids"][i]), float(s["minx"][i]), float(s["miny"][i]),
+                 float(s["maxx"][i]), float(s["maxy"][i])]
+                for i in range(s["ids"].shape[0])]
         self._models_bc = None
 
 
@@ -136,20 +136,8 @@ class TiledSpatialEngine:
             for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
                 full.setdefault(int(c), []).append(qi)
         s = self._cell_stats_np()
-        idx = {int(c): i for i, c in enumerate(s["ids"])}
-        base = np.zeros(len(rects), dtype=np.int64)
-        cellmap: dict[int, list[int]] = {}
-        for cell, qis in full.items():
-            i = idx.get(cell)
-            if i is None:
-                continue
-            for qi in qis:
-                _, fx, fy, tx, ty = rects[qi]
-                if (fx <= s["minx"][i] and tx >= s["maxx"][i]
-                        and fy <= s["miny"][i] and ty >= s["maxy"][i]):
-                    base[qi] += int(s["count"][i])
-                else:
-                    cellmap.setdefault(cell, []).append(qi)
+        base, cellmap = probes.split_contained_counts(
+            rects, full, s["ids"], s["minx"], s["miny"], s["maxx"], s["maxy"], s["count"])
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         models_bc = self._models() if refine == "learned" else None
