@@ -71,6 +71,14 @@ def main() -> None:
     engb = SpatialEngine(spark, sf_dir, scheme="fixed_grid", refine="binsearch")
     engb._assigned = pts
     timed("q_range_count_binsearch", lambda: engb.range_count(rects).collect())
+    # the papers' headline comparison: learned vs binary-search refinement
+    # per selectivity tier (~1e-5%, 0.01%, 1% — README.md:50-55 axes);
+    # rects are generated tier-major, 40 per tier
+    n_t = 40
+    for ti, tier in enumerate(("lo", "mid", "hi")):
+        tr = rects[ti * n_t:(ti + 1) * n_t]
+        timed(f"q_range_{tier}_learned", lambda tr=tr: eng.range_count(tr).collect())
+        timed(f"q_range_{tier}_binsearch", lambda tr=tr: engb.range_count(tr).collect())
     timed("q_range_materialize", lambda: eng.range_materialize(rects).count())
     timed("q_distance_count", lambda: eng.distance_count(circles).collect())
     timed("q_pip_count", lambda: eng.pip(polys).collect())
