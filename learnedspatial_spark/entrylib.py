@@ -283,6 +283,15 @@ def _events_sessionize(spark, sf_dir):
             .select("user_id", F.col("w.start").alias("session_start"), "n_events", "vmax"))
 
 
+def _events_window_stream(spark, sf_dir):
+    """events_window_stats computed by Structured Streaming (file-source
+    readStream -> availableNow -> memory sink): complete-mode aggregation
+    over the bounded source must equal the batch aggregation, so the
+    STREAMING path is graded against the same DuckDB oracle."""
+    from .streaming.ingest import events_window_stats_stream
+    return events_window_stats_stream(spark, f"{sf_dir}/events.parquet")
+
+
 def _events_json_kv(spark, sf_dir):
     """JSON prop extraction over the events stream table (engine substrate:
     Spark's JSON functions; oracle uses DuckDB's)."""
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fingerprint_md5"] = _fingerprint
     out["ann_cosine_topk"] = _ann_topk
     out["events_window_stats"] = _events_window
+    out["events_window_stats_stream"] = _events_window_stream
     out["events_sessionize"] = _events_sessionize
     out["events_json_kv"] = _events_json_kv
     out["dup_stats"] = _dup_stats
@@ -954,6 +964,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cast(floor(epoch(ts) / 3600) as bigint) AS window_id, event_type, "
         "count(*) AS cnt, min(value) AS vmin, max(value) AS vmax "
         "FROM events GROUP BY 1, 2")
+    # the streaming variant's complete-mode aggregation over the bounded
+    # source equals the batch aggregation — same oracle grades both paths
+    out["events_window_stats_stream"] = out["events_window_stats"]
     out["events_sessionize"] = (
         # Spark session_window semantics: an event extends its session's
         # window to ts+gap; the NEXT event joins iff its ts < that end, so

@@ -86,3 +86,45 @@ def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     return (spark.readStream.schema(PAGES_SCHEMA)
             .option("maxFilesPerTrigger", max_files)
             .parquet(path))
+
+
+def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
+                        output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion over the currently
+    available input (``trigger(availableNow)``) into a memory sink and
+    return the result as a plain DataFrame.
+
+    This is the contract bridge that makes the STREAMING path
+    oracle-checkable: complete-mode aggregation over a bounded file source
+    must equal the identical batch aggregation, so the DuckDB twin of the
+    batch query doubles as the streaming oracle.  (Append-mode +
+    watermark would hold back the final open window and diverge from the
+    batch answer by design — hence complete mode here.)"""
+    import uuid
+    name = f"lsp_stream_{uuid.uuid4().hex[:12]}"
+    q = (streaming_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def events_window_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """The events_window_stats contract query computed by Structured
+    Streaming: file-source readStream -> tumbling 1h window aggregation
+    (epoch-aligned, so window start/3600 equals the batch floor-div bucket)
+    -> availableNow memory sink.  Output schema matches the batch entry."""
+    import os
+    ev = (spark.readStream
+          .schema("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string")
+          # the file-stream source requires a DIRECTORY; stream the
+          # containing dir with a glob filter selecting just this table
+          .option("pathGlobFilter", os.path.basename(events_path))
+          .parquet(os.path.dirname(events_path)))
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+    out = run_stream_to_table(spark, agg)
+    return out.select(
+        F.expr("cast(floor(unix_timestamp(win.start) / 3600) as bigint)").alias("window_id"),
+        "event_type", "cnt", "vmin", "vmax")
