@@ -234,6 +234,22 @@ def _dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
 
+def _corpus_clean_keeplist(spark, sf_dir):
+    """Composed C4-style cleaning pipeline as ONE declarative job: keep a
+    document iff it is its exact-dup cluster's representative (min doc_id
+    per text), classified English, within a token-length band, and above
+    a quality floor.  Everything is built-in Column logic over the shared
+    SQL fragments, so the whole pipeline has a DuckDB twin — the shape a
+    100 TB pretraining-cleanup run takes (one scan, one dedup shuffle)."""
+    docs = _docs(spark, sf_dir)
+    rep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = (docs.join(rep, ["doc_id"], "leftsemi")
+            .where(F.expr(tx.langid_sql("text")) == "en")
+            .where(F.expr(tx.token_count_sql("text")).between(20, 2000))
+            .where(F.expr(tx.quality_score_sql("text")) >= F.expr(flit(25.0))))
+    return kept.select("doc_id")
+
+
 def _token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.expr(tx.token_count_sql("text")).cast("bigint").alias("n_tokens"))
@@ -494,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["polygon_tiles"] = _polygon_tiles
     out["morton_rollup"] = _morton_rollup
     out["dedup_exact"] = _dedup_exact
+    out["corpus_clean_keeplist"] = _corpus_clean_keeplist
     out["token_count"] = _token_count
     out["quality_score"] = _quality_score
     out["langid"] = _langid
@@ -880,6 +897,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM a GROUP BY cell_id // 4")
     out["dedup_exact"] = ("SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups "
                           "FROM documents GROUP BY text")
+    out["corpus_clean_keeplist"] = (
+        "WITH rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) "
+        "SELECT d.doc_id AS doc_id FROM documents d JOIN rep USING (doc_id) "
+        f"WHERE ({tx.langid_sql('d.text')}) = 'en' "
+        f"AND ({tx.token_count_sql('d.text')}) BETWEEN 20 AND 2000 "
+        f"AND ({tx.quality_score_sql('d.text')}) >= {flit(25.0)}")
     out["token_count"] = f"SELECT doc_id, cast({tx.token_count_sql('text')} as bigint) AS n_tokens FROM documents"
     out["quality_score"] = f"SELECT doc_id, {tx.quality_score_sql('text')} AS score FROM documents"
     out["langid"] = f"SELECT doc_id, {tx.langid_sql('text')} AS lang_pred FROM documents"
