@@ -158,8 +158,16 @@ class AdaptiveGridPartitioner(Partitioner):
     def assign_sql(self, x_expr: str) -> str:
         if not self.separators:
             return "cast(0 as bigint)"
-        terms = " + ".join(f"(case when {x_expr} >= {flit(s)} then 1 else 0 end)" for s in self.separators)
-        return f"cast({terms} as bigint)"
+        # balanced 8-ary grouping: a flat left-deep `a + b + c + ...` chain
+        # over hundreds of separators exceeds DuckDB's 128-deep expression
+        # binder recursion (hit at sf0.1's ~600 separators); grouping keeps
+        # the tree depth logarithmic with identical arithmetic
+        terms = [f"(case when {x_expr} >= {flit(s)} then 1 else 0 end)"
+                 for s in self.separators]
+        while len(terms) > 1:
+            terms = ["(" + " + ".join(terms[i:i + 8]) + ")"
+                     for i in range(0, len(terms), 8)]
+        return f"cast({terms[0]} as bigint)"
 
     def cells_for_rect(self, fx, fy, tx, ty):
         if tx < fx:
