@@ -318,7 +318,7 @@ def _events_json_kv(spark, sf_dir):
 
 _MINHASH_CFG = {"threshold": 0.5, "num_perm": 64, "bands": 16, "ngram": 4}
 _NGRAM_CFG = {"threshold": 0.35, "num_perm": 64, "bands": 32, "ngram": 4}
-_SIMHASH_HMAX = 8
+_SIMHASH_HMAX = 3  # == the 4-band pigeonhole recall guarantee (dedup.py)
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -330,7 +330,10 @@ def _minhash_pairs(spark, sf_dir):
 
 def _simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: 4x16-bit banding + popcount Hamming refine
-    (the scale path of simhash dedup), oracle-checked end to end."""
+    (the scale path of simhash dedup), oracle-checked end to end.  hmax=3
+    is the 4-band pigeonhole recall guarantee — banding has FULL recall at
+    this distance (wider distances would silently drop pairs disagreeing
+    on all four bands)."""
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=_SIMHASH_HMAX)
 
 
