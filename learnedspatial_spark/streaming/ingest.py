@@ -108,23 +108,68 @@ def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
     return spark.table(name)
 
 
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over the events table.  The file source needs a
+    DIRECTORY: a directory path (Spark-written part-* table) streams
+    as-is; a single-file path streams its parent with a glob selecting
+    just that file.  A path that is neither fails fast — the glob route on
+    a missing file would otherwise match nothing and silently yield an
+    empty (wrong) stream."""
+    import os
+    rs = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isdir(events_path):
+        return rs.parquet(events_path)
+    if not os.path.isfile(events_path):
+        raise FileNotFoundError(f"events table not found: {events_path}")
+    return (rs.option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path)))
+
+
+def _events_window_agg(ev: DataFrame) -> DataFrame:
+    return (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+
+
+_WINDOW_ID = "cast(floor(unix_timestamp(win.start) / 3600) as bigint)"
+
+
 def events_window_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """The events_window_stats contract query computed by Structured
     Streaming: file-source readStream -> tumbling 1h window aggregation
     (epoch-aligned, so window start/3600 equals the batch floor-div bucket)
     -> availableNow memory sink.  Output schema matches the batch entry."""
-    import os
-    ev = (spark.readStream
-          .schema("event_id bigint, ts timestamp, user_id bigint, "
-                  "event_type string, value double, props string")
-          # the file-stream source requires a DIRECTORY; stream the
-          # containing dir with a glob filter selecting just this table
-          .option("pathGlobFilter", os.path.basename(events_path))
-          .parquet(os.path.dirname(events_path)))
-    agg = (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-           .agg(F.count(F.lit(1)).alias("cnt"),
-                F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+    agg = _events_window_agg(read_events_stream(spark, events_path))
     out = run_stream_to_table(spark, agg)
-    return out.select(
-        F.expr("cast(floor(unix_timestamp(win.start) / 3600) as bigint)").alias("window_id"),
-        "event_type", "cnt", "vmin", "vmax")
+    return out.select(F.expr(_WINDOW_ID).alias("window_id"),
+                      "event_type", "cnt", "vmin", "vmax")
+
+
+def events_window_stats_stream_to_files(
+        spark: SparkSession, events_path: str, out_dir: str,
+        checkpoint_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """The PRODUCTION sink for the streaming window stats: watermarked
+    APPEND mode to a checkpointed parquet file sink (exactly-once,
+    restartable) — the shape a 100 TB ingest uses, vs the driver-resident
+    memory sink the grading bridge uses.  Append emits a window exactly
+    once, only after the watermark passes its end, so at end-of-stream the
+    still-open tail windows are HELD BACK by design;
+    tests/test_pages.py reconciles this output against the complete-mode
+    answer minus exactly that tail."""
+    agg = _events_window_agg(
+        read_events_stream(spark, events_path).withWatermark("ts", watermark))
+    q = (agg.select(F.expr(_WINDOW_ID).alias("window_id"),
+                    "event_type", "cnt", "vmin", "vmax")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read
+            .schema("window_id bigint, event_type string, cnt bigint, "
+                    "vmin double, vmax double")
+            .parquet(out_dir))

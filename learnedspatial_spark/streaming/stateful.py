@@ -1,15 +1,18 @@
-"""Custom stateful streaming operator: first-seen dedup on a pages stream.
+"""Stateful streaming operators: first-seen dedup + rolling tile counts.
 
 Training-data ingestion needs streaming exact dedup (a re-crawled url must
-not re-enter the corpus).  Implemented with ``applyInPandasWithState``:
-the stream is grouped by a stable hash bucket of the key, each group's
-GroupState holds the set of seen 64-bit key hashes, and only first-seen
-rows are emitted.  State is bounded per bucket and survives micro-batches
-(and restarts, with a checkpointLocation).
+not re-enter the corpus).  The scale-correct state model is ONE state-store
+entry per key, O(1) bytes each — the state store's own job is scaling by
+entry count (RocksDB-backed on a real cluster).  The earlier design (hash
+buckets whose GroupState accumulated every seen hash in an ``array<long>``)
+grew O(corpus) bytes inside 64 rows — gigabyte state rows, then OOM.
 
-This is the engine's ``applyInPandasWithState`` surface (the reference has
-no streaming at all — SURVEY.md §2.8); the same pattern carries any custom
-per-key streaming state (e.g. per-tile rolling point counts).
+``dedup_stream`` therefore defaults to Spark's native streaming
+``dropDuplicates`` (JVM state, no Python in the loop) and keeps an
+``applyInPandasWithState`` variant keyed BY the key itself (single boolean
+state per key) as the engine's custom-state surface (the reference has no
+streaming at all — SURVEY.md §2.8); the same pattern carries any custom
+per-key streaming state (e.g. per-tile rolling point counts below).
 """
 
 from __future__ import annotations
@@ -19,28 +22,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-N_BUCKETS = 64
-
 OUTPUT_SCHEMA = "url string, warc_ts timestamp, x double, y double"
-STATE_SCHEMA = "seen array<long>"
+# one fixed-width value per key — never an array that grows with the corpus
+STATE_SCHEMA = "seen boolean"
 
 
 def _dedup_fn(key, pdf_iter, state: GroupState):
-    seen = set(state.get[0]) if state.exists else set()
+    """Group = one ``key_hash``.  First-seen selection is the head of the
+    first non-empty batch — vectorized slicing, no per-row Python loop;
+    state is a single boolean per key."""
+    if state.exists:
+        return
+    first = None
     for pdf in pdf_iter:
-        # stable 64-bit key hash computed JVM-side (xxhash64 column)
-        mask = []
-        for h in pdf["key_hash"]:
-            h = int(h)
-            if h in seen:
-                mask.append(False)
-            else:
-                seen.add(h)
-                mask.append(True)
-        out = pdf.loc[mask, ["url", "warc_ts", "x", "y"]]
-        if len(out):
-            yield out
-    state.update((list(seen),))
+        if first is None and len(pdf):
+            first = pdf.iloc[:1][["url", "warc_ts", "x", "y"]]
+    state.update((True,))
+    if first is not None:
+        yield first
 
 
 ROLLING_OUTPUT_SCHEMA = "cell_id bigint, batch_rows bigint, total_rows bigint"
@@ -75,17 +74,30 @@ def rolling_tile_counts(points_with_cells: DataFrame) -> DataFrame:
             ))
 
 
-def dedup_stream(points: DataFrame) -> DataFrame:
-    """points stream (url, warc_ts, x, y) -> first-seen rows only.
+def dedup_stream(points: DataFrame, impl: str = "native") -> DataFrame:
+    """points stream (url, warc_ts, x, y) -> first-seen rows only; the
+    dedup identity is xxhash64(url).
 
-    Uses xxhash64(url) both as the dedup identity and (mod N_BUCKETS) as
-    the state partition key — state per group stays small and hash-balanced
-    at any corpus size.
+    ``impl="native"`` (default — the 100 TB path): streaming
+    ``dropDuplicates`` on the key hash.  Spark's streaming-dedup state
+    store keeps ONE fixed-size entry per key, entirely JVM-side; no
+    Python anywhere in the loop.
+
+    ``impl="state"``: identical semantics on the engine's
+    ``applyInPandasWithState`` surface, state keyed BY ``key_hash`` with
+    one boolean per key — the custom-state template; its per-group Python
+    call overhead makes it the extension path, not the production one.
+
+    Exact global first-seen dedup inherently keeps state for every
+    distinct key ever seen; both impls store O(1) bytes per key.  For
+    time-bounded state use a watermark upstream with
+    ``dropDuplicatesWithinWatermark``.
     """
-    keyed = points.withColumn("key_hash", F.xxhash64("url")) \
-                  .withColumn("bucket", F.pmod(F.col("key_hash"), F.lit(N_BUCKETS)))
+    keyed = points.withColumn("key_hash", F.xxhash64("url"))
+    if impl == "native":
+        return keyed.dropDuplicates(["key_hash"]).select("url", "warc_ts", "x", "y")
     return (
-        keyed.groupBy("bucket")
+        keyed.groupBy("key_hash")
         .applyInPandasWithState(
             _dedup_fn,
             outputStructType=OUTPUT_SCHEMA,

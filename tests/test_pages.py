@@ -68,14 +68,26 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_stateful_stream_dedup(spark, tmp_path):
-    """applyInPandasWithState first-seen dedup: re-crawled urls (second
-    file repeats the first) must not re-emit; state persists across
-    micro-batches (maxFilesPerTrigger=1)."""
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["native", "state"])
+def test_stateful_stream_dedup(spark, tmp_path, impl):
+    """First-seen dedup on both impls: re-crawled urls (second file
+    repeats the first) must not re-emit; state persists across
+    micro-batches (maxFilesPerTrigger=1).  State is O(1) PER KEY by
+    construction: the native impl is Spark's streaming dropDuplicates
+    (one JVM state entry per key); the custom impl's state schema is a
+    single fixed-width boolean keyed by key_hash — never a per-group
+    array that grows with the corpus."""
     import glob
     import shutil
 
-    src = str(tmp_path / "dup_pages")
+    from learnedspatial_spark.streaming import ingest, stateful
+
+    assert "array" not in stateful.STATE_SCHEMA  # O(1)-per-key state row
+
+    src = str(tmp_path / f"dup_pages_{impl}")
     base = datagen.pages_df(spark, 150, partitions=2)
     base.write.parquet(src)
     # duplicate every parquet part file -> same rows arrive again in later
@@ -83,14 +95,13 @@ def test_stateful_stream_dedup(spark, tmp_path):
     for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
         shutil.copy(f, f"{src}/dup-{i}.parquet")
 
-    from learnedspatial_spark.streaming import ingest, stateful
     stream = ingest.read_pages_stream(spark, src, max_files=1)
     pts = ingest.extract_points_stream(stream)
-    deduped = stateful.dedup_stream(pts)
-    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+    deduped = stateful.dedup_stream(pts, impl=impl)
+    q = (deduped.writeStream.format("memory").queryName(f"dedup_out_{impl}")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    rows = spark.sql("select url, count(*) c from dedup_out group by url").collect()
+    rows = spark.sql(f"select url, count(*) c from dedup_out_{impl} group by url").collect()
     assert len(rows) == 150
     assert all(r["c"] == 1 for r in rows)
 
@@ -157,6 +168,46 @@ def test_stateful_rolling_tile_counts(spark, tmp_path):
         by_cell.setdefault(r["cell_id"], []).append(r)
     for cid, rs in by_cell.items():
         assert sum(x["batch_rows"] for x in rs) == want[cid]
+
+
+def test_streaming_filesink_reconciles_with_complete(spark, tmp_path):
+    """Append-mode parquet file sink (the production sink) vs the
+    complete-mode memory sink (the grading bridge): every window the file
+    sink emits must equal the complete-mode row exactly, and the only
+    missing windows are the end-of-stream tail the watermark has not yet
+    passed (window_end > max_ts - watermark) — held back by design."""
+    from pyspark.sql import functions as F
+
+    from learnedspatial_spark.streaming import ingest
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    comp = ingest.events_window_stats_stream(spark, src)
+    want = {(r["window_id"], r["event_type"]): (r["cnt"], r["vmin"], r["vmax"])
+            for r in comp.collect()}
+    out = ingest.events_window_stats_stream_to_files(
+        spark, src, str(tmp_path / "win_out"), str(tmp_path / "win_ckpt"),
+        watermark="2 hours")
+    got = {(r["window_id"], r["event_type"]): (r["cnt"], r["vmin"], r["vmax"])
+           for r in out.collect()}
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v, k
+    mx = spark.read.parquet(src).agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    wm = mx - 2 * 3600  # final watermark (epoch seconds)
+    for (wid, et) in set(want) - set(got):
+        assert (wid + 1) * 3600 > wm, (wid, et)  # held-back tail only
+    # and every finalized window WAS emitted
+    for (wid, et) in want:
+        if (wid + 1) * 3600 <= wm:
+            assert (wid, et) in got, (wid, et)
+
+
+def test_read_events_stream_fails_fast_on_missing(spark, tmp_path):
+    import pytest as _pytest
+
+    from learnedspatial_spark.streaming import ingest
+    with _pytest.raises(FileNotFoundError):
+        ingest.read_events_stream(spark, str(tmp_path / "nope.parquet"))
 
 
 def test_streaming_session_window_matches_batch(spark, tmp_path):
