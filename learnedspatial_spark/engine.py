@@ -50,6 +50,22 @@ from .operators.partitioning import (
 from .sources import points as points_src
 
 DEFAULT_PARTITION_SIZE = 1000  # src/main.cpp:60-65
+MAX_CELLS_DEFAULT = 1_000_000
+
+
+def effective_partition_size(n: int, partition_size: int, max_cells: int) -> int:
+    """Auto-coarsen the per-cell budget so #cells stays bounded.  The
+    cell-stats and model tables are O(#cells) driver/broadcast artifacts
+    by design (the reference's per-cell metadata, SURVEY.md §2.5); the
+    reference leaves ``partition_size`` to manual tuning (README.md:62-68).
+    At 100 TB a forgotten default (1000) would mean ~10^8 cells and
+    multi-GB driver collects — instead, a build whose n/partition_size
+    exceeds ``max_cells`` coarsens partition_size to ceil(n / max_cells).
+    Query RESULTS are partitioning-invariant; only cell granularity
+    changes."""
+    if max_cells and n > partition_size * max_cells:
+        return -(-n // max_cells)
+    return partition_size
 
 
 def _widen(lo: float, hi: float, ulps: int = 8) -> tuple[float, float]:
@@ -84,6 +100,7 @@ class SpatialEngine:
         source: str = "lineitem",
         build_sample: int | None = None,
         exact_build_threshold: int = 2_000_000,
+        max_cells: int = MAX_CELLS_DEFAULT,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -109,8 +126,14 @@ class SpatialEngine:
         # (routing + refine stay exact for any partitioning).
         # ``build_sample=k`` forces the sampled path at ~k rows.
         agg = self.points().agg(F.min("x"), F.max("x"), F.count(F.lit(1))).collect()[0]
-        self._xmin, self._xmax = float(agg[0]), float(agg[1])
         self._n = n = int(agg[2])
+        if n == 0:
+            raise ValueError(
+                f"empty point source: no points derived from {sf_dir!r} "
+                f"(source={source!r}) — nothing to index")
+        self._xmin, self._xmax = float(agg[0]), float(agg[1])
+        # O(#cells) guard: coarsen partition_size before any splitter build
+        self.partition_size = effective_partition_size(n, partition_size, max_cells)
         if self.scheme in ("fixed_grid", "morton", "str"):
             self.partitioner = self._build_closed_form(self._xmin, self._xmax, n)
         else:
@@ -435,15 +458,10 @@ class SpatialEngine:
         p = self.partitioner
         if isinstance(p, STRPartitioner):
             self.cell_stats()
-        cells = [int(c) for (qid, qx, qy) in pts
-                 for c in p.cells_for_rect(qx, qy, qx, qy)]
         qrows = []
-        i = 0
         for (qid, qx, qy) in pts:
-            cs = p.cells_for_rect(qx, qy, qx, qy)
-            for c in cs:
+            for c in p.cells_for_rect(qx, qy, qx, qy):
                 qrows.append((qid, float(qx), float(qy), int(c)))
-            i += 1
         qdf = self.spark.createDataFrame(qrows, "query_id bigint, qx double, qy double, cell_id bigint")
         pts_df = self.assigned_points()
         hit = (

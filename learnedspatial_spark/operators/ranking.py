@@ -57,7 +57,11 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
             f"else {terms} end as bigint)")
     else:
         bucket = F.lit(0).cast("bigint")
-    b = df.withColumn(bucket_col, bucket)
+    # one eager materialization serves the bucket-count job AND every later
+    # read of the ranked plan (and truncates lineage): without it the
+    # upstream plan — e.g. the engine's derived point set — recomputes for
+    # the quantile job, the count job, and each downstream materialization
+    b = df.withColumn(bucket_col, bucket).localCheckpoint(eager=True)
     cnts = {int(r[bucket_col]): int(r["cnt"])
             for r in b.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets: dict[int, int] = {}

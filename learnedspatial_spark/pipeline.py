@@ -48,6 +48,7 @@ def build_tiled_index(
     fit_batch_cells: int = 256,
     build_sample_rows: int = 250_000,
     points_df: DataFrame | None = None,
+    max_cells: int = 1_000_000,
 ) -> dict:
     """Materialize the tiled point table + model table from a pages table
     (or any pre-derived point DataFrame with x/y + an id column via
@@ -65,7 +66,16 @@ def build_tiled_index(
     # partitioner from one stats pass (closed-form schemes need only bbox +
     # count — no driver collect of data)
     agg = points.agg(F.min("x"), F.max("x"), F.count(F.lit(1))).collect()[0]
-    xmin, xmax, n = float(agg[0]), float(agg[1]), int(agg[2])
+    n = int(agg[2])
+    if n == 0:
+        raise ValueError("empty point source: the pages/points input derived "
+                         "zero (x, y) rows — nothing to index")
+    xmin, xmax = float(agg[0]), float(agg[1])
+    # O(#cells) guard (engine.effective_partition_size): the model/stats
+    # tables and the checkpoint manifest are O(#cells) — coarsen rather
+    # than build 10^8 cells at 100 TB (recorded in lineage below)
+    from .engine import effective_partition_size
+    partition_size = effective_partition_size(n, partition_size, max_cells)
     if scheme == "fixed_grid":
         part: Partitioner = FixedGridPartitioner.build(xmin, xmax, n, partition_size)
         assigned = points.withColumn("cell_id", F.expr(part.assign_sql("x")))
@@ -168,6 +178,7 @@ def build_tiled_index(
     run_id = log.record_run(
         "build_tiled_index", part.to_spec(),
         inputs={"pages": pages_path or "<points_df>", "rows": n},
-        extra={"cells": len(cells), "fitted_this_run": fitted, "scheme": scheme})
+        extra={"cells": len(cells), "fitted_this_run": fitted, "scheme": scheme,
+               "partition_size_effective": partition_size})
     return {"run_id": run_id, "rows": n, "cells": len(cells), "fitted": fitted,
             "tiled_path": tiled_path, "model_path": model_path}
