@@ -104,7 +104,24 @@ for _ in range(3):
         w = time.perf_counter() - t0
         best[name] = min(best.get(name, 1e18), w)
 best["total"] = sum(v for k, v in best.items() if k != "total")
-print(json.dumps({{"cores": cores, "rows": n, "walls": best}}))
+
+# learned vs binsearch per selectivity tier at production occupancy
+# (README.md:63's 8000-point cells; the papers' regime) — measured once,
+# at the widest parallelism
+tiers = {{}}
+if cores == 32:
+    tier_slices = {{"lo": rects[0:600], "mid": rects[600:1200], "hi": rects[1200:1800]}}
+    for tname, trs in tier_slices.items():
+        for refine in ("learned", "binsearch"):
+            eng.refine = refine
+            eng.range_count(trs).collect()  # warm this plan
+            w = 1e18
+            for _ in range(2):
+                t0 = time.perf_counter(); eng.range_count(trs).collect()
+                w = min(w, time.perf_counter() - t0)
+            tiers[tname + "_" + refine] = w
+    eng.refine = "learned"
+print(json.dumps({{"cores": cores, "rows": n, "walls": best, "tiers": tiers}}))
 spark.stop()
 """
 
@@ -120,10 +137,61 @@ def run(cores: int) -> dict:
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
 
+def kernel_lookup_bench(input_dir: str, partition_size: int = None,
+                        n_queries: int = 200_000, repeats: int = 5) -> dict:
+    """ns/lookup for the in-cell y-bound search — the reference's own
+    reported metric (build ms + ns/lookup, src/main.cpp:129-130): learned
+    spline (estimate + windowed repair) vs plain ``np.searchsorted`` on a
+    REAL derived cell at production occupancy.  Spark wall clocks hide
+    this term inside the candidate-run scan that both refinements share;
+    this driver-side kernel bench isolates the papers' comparison.
+    Results are asserted identical before timing."""
+    import time
+
+    import numpy as np
+
+    from learnedspatial_spark.operators import spline as spl
+    from learnedspatial_spark.operators.partitioning import FixedGridPartitioner
+    from learnedspatial_spark.sources.points import points_np
+    ps = partition_size or PARTITION_SIZE
+    _, x, y = points_np(input_dir)
+    part = FixedGridPartitioner.build(float(x.min()), float(x.max()), x.shape[0], ps)
+    cells = part.assign_np(x, y)
+    ids, counts = np.unique(cells, return_counts=True)
+    ys = np.sort(y[cells == ids[np.argmax(counts)]])
+    kk, kp = spl.fit_spline(*spl.build_cdf(ys))
+    rng = np.random.default_rng(7)
+    q = rng.uniform(float(ys[0]), float(ys[-1]), size=n_queries)
+    assert np.array_equal(spl.learned_searchsorted(ys, kk, kp, q, "left"),
+                          np.searchsorted(ys, q, side="left"))
+    out = {"cell_rows": int(ys.shape[0]), "n_knots": int(kk.shape[0]),
+           "n_queries": n_queries}
+    for name, fn in (("learned", lambda: spl.learned_searchsorted(ys, kk, kp, q, "left")),
+                     ("binsearch", lambda: np.searchsorted(ys, q, side="left"))):
+        best = 1e18
+        fn()
+        for _ in range(repeats):
+            t0 = time.perf_counter(); fn()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_ns_per_lookup"] = round(best / n_queries * 1e9, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     prepare_input(sf_dir)
-    res = {c: run(c) for c in (16, 4, 32, 8)}
+    from_json = os.environ.get("SPARK_GRAFT_SCALE_FROM_JSON")
+    if from_json:
+        # regenerate the report (and re-run the driver-side kernel bench)
+        # from a previously captured run — the Spark walls are 30 minutes
+        # of idle-machine time; the report shouldn't cost that to re-render
+        with open(from_json) as f:
+            prior = json.load(f)
+        res = {int(c): {"walls": w, "rows": prior["rows"],
+                        "tiers": prior.get("tiers_learned_vs_binsearch", {})}
+               for c, w in prior["walls"].items()}
+    else:
+        res = {c: run(c) for c in (16, 4, 32, 8)}
 
     def eff(lo, hi):
         return {k: round(res[lo]["walls"][k] / res[hi]["walls"][k] / 4, 3)
@@ -132,6 +200,8 @@ def main() -> None:
     e416 = eff(4, 16)
     e832 = eff(8, 32)
     rows = res[16]["rows"]
+    tiers = res[32].get("tiers", {})
+    kern = kernel_lookup_bench(SCALE_INPUT)
     result = {
         "metric": "scaling efficiency N -> 4N (same input, identical job)",
         "rows": rows,
@@ -140,6 +210,8 @@ def main() -> None:
         "efficiency_8_to_32": e832,
         "target": 0.8,
         "pass_4_to_16": e416["total"] >= 0.8,
+        "tiers_learned_vs_binsearch": {k: round(v, 2) for k, v in tiers.items()},
+        "kernel_ns_per_lookup": kern,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     w = {c: res[c]["walls"] for c in res}
@@ -182,6 +254,57 @@ for oversized cells.
 
 `python bench.py` (sf0.1, local[32]) prints the one-line JSON; the driver
 records BENCH_r*.json per round.
+""")
+        if tiers:
+            def spd(t):
+                return tiers[f"{t}_binsearch"] / tiers[f"{t}_learned"]
+            f.write(f"""
+## Learned vs binary-search refinement by selectivity tier
+
+Range count per tier (600 rectangles each) on the same {rows:,}-point
+corpus at partition_size={PARTITION_SIZE} (README.md:63's tuned example —
+~{PARTITION_SIZE}-point cells, the occupancy regime the learned-index
+papers evaluate; at raw sf0.1 both refinements sit at the scheduling
+floor and measure ~equal).  local[32], warm, best-of-2; speedup =
+binsearch wall / learned wall (>1 favors learned).
+
+| tier (selectivity) | learned | binary search | learned speedup |
+|---|---|---|---|
+| lo (~1e-7 area) | {tiers['lo_learned']:.1f}s | {tiers['lo_binsearch']:.1f}s | {spd('lo'):.2f}x |
+| mid (~1e-4) | {tiers['mid_learned']:.1f}s | {tiers['mid_binsearch']:.1f}s | {spd('mid'):.2f}x |
+| hi (~1e-2) | {tiers['hi_learned']:.1f}s | {tiers['hi_binsearch']:.1f}s | {spd('hi'):.2f}x |
+
+Both refinements produce identical results (the per-scheme range-count
+oracles); the comparison is throughput only.
+
+### Kernel-level ns/lookup (the reference's own metric)
+
+The reference reports build ms + ns/lookup (src/main.cpp:129-130).  The
+wall clocks above bound the refinement term by the candidate-run scan and
+per-query aggregation BOTH refinements share, so the in-cell bound search
+is also measured in isolation — driver-side NumPy on the largest real
+derived cell at this occupancy ({kern['cell_rows']:,} rows,
+{kern['n_knots']} spline knots, {kern['n_queries']:,} uniform queries,
+best of 5, results asserted identical):
+
+| kernel | ns / lookup |
+|---|---|
+| learned spline (estimate + windowed repair) | {kern['learned_ns_per_lookup']} |
+| `np.searchsorted` (BinarySearchYCell analog) | {kern['binsearch_ns_per_lookup']} |
+
+Measured conclusion, stated plainly: at these cell sizes the learned
+kernel does NOT beat vectorized binary search — `np.searchsorted` over
+an L2-resident 8k-row cell is already near the memory floor, while the
+spline pays an interp pass plus a (queries x 2*eps) repair-window gather.
+The papers' per-lookup gaps arise in row-at-a-time C++ over much larger
+sorted arrays, where each binary-search probe is a cache miss; batching
+changes the winner.  Both kernels sit far below the shared per-query
+candidate-run scan, which is why the tier walls above are
+refinement-insensitive.  The engine keeps `refine="learned"` as the
+reference-parity default (identical results, plan-equal walls) and the
+model table earns its O(#cells) keep as routing/stats state + per-cell
+error metrics; `refine="binsearch"` is the measured kernel winner at
+8k-row cells and a one-argument switch.
 """)
     print(json.dumps(result))
 

@@ -42,6 +42,21 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
         yield first
 
 
+def dedup_stream_within_watermark(points: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Bounded-state streaming dedup: drops re-crawls of a url whose event
+    time falls within ``delay`` of the first sighting, and EXPIRES each
+    key's state once the watermark passes it — state is O(distinct keys
+    per watermark horizon), not O(all keys ever).  This is the form an
+    unbounded crawl stream must run forever; pair it with a periodic
+    batch ``dedup_exact`` compaction for the long tail (exact GLOBAL
+    first-seen state grows with the corpus by definition — that variant
+    is :func:`dedup_stream`)."""
+    keyed = (points.withWatermark("warc_ts", delay)
+             .withColumn("key_hash", F.xxhash64("url")))
+    return (keyed.dropDuplicatesWithinWatermark(["key_hash"])
+            .select("url", "warc_ts", "x", "y"))
+
+
 ROLLING_OUTPUT_SCHEMA = "cell_id bigint, batch_rows bigint, total_rows bigint"
 ROLLING_STATE_SCHEMA = "total bigint"
 

@@ -170,6 +170,29 @@ def test_stateful_rolling_tile_counts(spark, tmp_path):
         assert sum(x["batch_rows"] for x in rs) == want[cid]
 
 
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Bounded-state dedup: duplicates arriving within the watermark delay
+    (identical event times here) are dropped; 150 unique urls survive."""
+    import glob
+    import shutil
+
+    from learnedspatial_spark.streaming import ingest, stateful
+
+    src = str(tmp_path / "dup_pages_wm")
+    datagen.pages_df(spark, 150, partitions=2).write.parquet(src)
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+        shutil.copy(f, f"{src}/dup-{i}.parquet")
+    stream = ingest.read_pages_stream(spark, src, max_files=1)
+    deduped = stateful.dedup_stream_within_watermark(
+        ingest.extract_points_stream(stream), delay="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("dedup_wm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select url, count(*) c from dedup_wm_out group by url").collect()
+    assert len(rows) == 150
+    assert all(r["c"] == 1 for r in rows)
+
+
 def test_streaming_filesink_reconciles_with_complete(spark, tmp_path):
     """Append-mode parquet file sink (the production sink) vs the
     complete-mode memory sink (the grading bridge): every window the file

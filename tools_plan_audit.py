@@ -98,6 +98,24 @@ def main() -> None:
         "Window",
     ]))
 
+    # simhash: the lane-packed wide aggregation must stay inside
+    # whole-stage codegen (the naive 64-string-probe form was the perf
+    # sink of round 2) with ONE data shuffle (partial -> final agg)
+    # codegen ids only exist on the EXECUTED final plan (AQE), and wide
+    # plans truncate toString by default (hides the *(n) markers)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    sdf = dedup.simhash_md5_table(spark.read.parquet(f"{sf}/documents.parquet"))
+    sdf.collect()
+    p7 = sdf._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    if len(re.findall(r"\bExchange", p7)) == 1:
+        p7 += "\n-- audit: single-shuffle (one partial->final aggregation exchange)\n"
+    if re.search(r"\*\(\d+\) HashAggregate", p7):
+        p7 += "-- audit: aggregate-in-codegen (lane-packed sums compile)\n"
+    sections.append(("simhash_md5_table (lane-packed codegen aggregation)", p7, [
+        "single-shuffle",
+        "aggregate-in-codegen",
+    ]))
+
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
     ok_all = True
