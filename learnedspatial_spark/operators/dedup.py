@@ -299,17 +299,24 @@ def shingle_hashes_md5(docs: DataFrame, ngram: int = 4) -> DataFrame:
     not char shingles — over a template-like web corpus char n-grams from
     a small vocabulary make every document pair look similar (observed:
     candidate sets within a constant of all-pairs), while token windows
-    keep the shingle space discriminative.  One wide scan -> explode ->
-    distinct; at 100 TB the distinct is a hash aggregation keyed by
-    (doc_id, hm)."""
+    keep the shingle space discriminative.
+
+    Plan shape: explode the window POSITIONS, then build digest + parse as
+    top-level expressions — whole-stage codegen end to end (an md5 inside
+    a transform lambda evaluates interpreted; same lesson as
+    :func:`simhash_md5_table`).  The 48-bit parse uses one ``conv`` call —
+    value-identical to the instr-probe ``hex12_expr`` the DuckDB twin
+    uses.  One wide scan -> explode -> distinct; at 100 TB the distinct is
+    a hash aggregation keyed by (doc_id, hm)."""
     return (docs
             .select("doc_id", F.split("text", " ", -1).alias("toks"))
-            # digests built inside one transform so the generator emits
-            # small hex strings, never a per-row copy of the token array
-            .select("doc_id", F.explode(F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {ngram - 1}, 1)), "
-                f"i -> md5(cast(array_join(slice(toks, i, {ngram}), ' ') as binary)))")).alias("h"))
-            .select("doc_id", F.expr(f"({hex12_expr('h')}) % {MINHASH_P}").alias("hm"))
+            .select("doc_id", "toks",
+                    F.expr(f"explode(sequence(1, greatest(size(toks) - {ngram - 1}, 1))) AS i"))
+            .select("doc_id", F.expr(
+                f"md5(cast(array_join(slice(toks, i, {ngram}), ' ') as binary))").alias("h"))
+            .select("doc_id",
+                    F.expr(f"cast(conv(substring(h, 1, 12), 16, 10) as bigint) % {MINHASH_P}")
+                    .alias("hm"))
             .distinct())
 
 
