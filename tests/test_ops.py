@@ -210,3 +210,29 @@ def test_multimodal_resize_dims_and_determinism(spark):
     rows2 = multimodal.resize_images(media, max_dim=20).collect()
     assert {r["doc_id"]: bytes(r["resized"]) for r in rows} == \
            {r["doc_id"]: bytes(r["resized"]) for r in rows2}
+
+
+def test_simhash_md5_lane_packing_matches_python(spark):
+    """Pure-Python md5 simhash reference vs the lane-packed Spark
+    aggregation — guards the packed-position arithmetic (digest bit ->
+    half/lane/shift) independently of the DuckDB twin."""
+    import hashlib
+
+    from learnedspatial_spark.operators import dedup
+
+    texts = ["abcabcabc", "hello world!", "ñöç unicode ábc",
+             "aaa", "xyzzy qwerty 123456", "a"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+           for r in dedup.simhash_md5_table(docs, ngram=3).collect()}
+    for i, t in enumerate(texts):
+        n = max(len(t) - 2, 1)
+        sums = [0] * 64
+        for p in range(n):
+            h = hashlib.md5(t[p:p + 3].encode("utf-8")).hexdigest()
+            for j in range(64):
+                v = int(h[j // 4], 16)
+                sums[j] += 1 if (v // (2 ** (3 - j % 4))) % 2 == 1 else -1
+        lo = sum(1 << j for j in range(32) if sums[j] > 0)
+        hi = sum(1 << (j - 32) for j in range(32, 64) if sums[j] > 0)
+        assert got[i] == (lo, hi), (i, t)
