@@ -251,8 +251,13 @@ def _corpus_clean_keeplist(spark, sf_dir):
 
 
 def _token_count(spark, sf_dir):
+    """Token counting both ways: whitespace tokens AND a BPE-ish regex
+    tokenizer (contraction / letter-run / digit-run / punct-run classes,
+    lookahead-free so Spark's Java regex and DuckDB's RE2 agree)."""
     return _docs(spark, sf_dir).select(
-        "doc_id", F.expr(tx.token_count_sql("text")).cast("bigint").alias("n_tokens"))
+        "doc_id",
+        F.expr(tx.token_count_sql("text")).cast("bigint").alias("n_tokens"),
+        F.expr(tx.token_count_bpe_spark_sql("text")).cast("bigint").alias("n_bpe_tokens"))
 
 
 def _quality_score(spark, sf_dir):
@@ -978,7 +983,10 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE ({tx.langid_sql('d.text')}) = 'en' "
         f"AND ({tx.token_count_sql('d.text')}) BETWEEN 20 AND 2000 "
         f"AND ({tx.quality_score_sql('d.text')}) >= {flit(25.0)}")
-    out["token_count"] = f"SELECT doc_id, cast({tx.token_count_sql('text')} as bigint) AS n_tokens FROM documents"
+    out["token_count"] = (
+        f"SELECT doc_id, cast({tx.token_count_sql('text')} as bigint) AS n_tokens, "
+        f"cast({tx.token_count_bpe_duckdb_sql('text')} as bigint) AS n_bpe_tokens "
+        "FROM documents")
     out["quality_score"] = f"SELECT doc_id, {tx.quality_score_sql('text')} AS score FROM documents"
     out["langid"] = f"SELECT doc_id, {tx.langid_sql('text')} AS lang_pred FROM documents"
     out["fingerprint_md5"] = f"SELECT doc_id, {tx.fingerprint_md5_sql('text')} AS fp FROM documents"

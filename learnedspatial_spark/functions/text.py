@@ -50,6 +50,27 @@ def token_count_col(text: Column) -> Column:
     return F.size(F.split(text, " ", -1))
 
 
+# BPE-ish tokenizer classes (GPT-2-style: contraction suffixes, space-
+# prefixed letter runs, digit runs, punctuation runs, whitespace runs) —
+# deliberately LOOKAHEAD-FREE and \p-free so Java regex (Spark) and RE2
+# (DuckDB) tokenize identically; whitespace chars are embedded literally
+# (a backslash escape like \t parses differently in the two engines'
+# string literals).  An approximation of a real BPE pre-tokenizer by
+# design — the unit is the pre-merge word piece, not the merged token.
+BPE_TOKEN_PATTERN = ("'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                     "| ?[^ \t\nA-Za-z0-9]+|[ \t\n]+")
+
+
+def token_count_bpe_spark_sql(text_expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"size(regexp_extract_all({text_expr}, '{pat}', 0))"
+
+
+def token_count_bpe_duckdb_sql(text_expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({text_expr}, '{pat}', 0))"
+
+
 def quality_score_sql(text_expr: str) -> str:
     """Heuristic quality score from stopword mass, punctuation and length:
     ``(stop_mass * 1000 + dots * 10 + commas * 10) / nchars`` — one float64

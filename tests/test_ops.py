@@ -236,3 +236,26 @@ def test_simhash_md5_lane_packing_matches_python(spark):
         lo = sum(1 << j for j in range(32) if sums[j] > 0)
         hi = sum(1 << (j - 32) for j in range(32, 64) if sums[j] > 0)
         assert got[i] == (lo, hi), (i, t)
+
+
+def test_bpe_token_pattern_dialect_parity(spark):
+    """Java regex (Spark) vs RE2 (DuckDB) must tokenize identically on
+    adversarial inputs: contractions, digit/letter runs, unicode (counts
+    as punct-run by design), tabs/newlines, apostrophes, empty-ish."""
+    import duckdb
+
+    from learnedspatial_spark.functions import text as tx
+    cases = ["it's don't we're I'll they've I'm he'd",
+             "abc123def  45.6e7",
+             "ñöç üñîçødé mixed ascii",
+             "a\tb\nc   d", "'''", "x", " ", "--=++ !!?", "word's"]
+    df = spark.createDataFrame(list(enumerate(cases)), "i bigint, t string")
+    got = {r["i"]: r["n"] for r in df.selectExpr(
+        "i", f"cast({tx.token_count_bpe_spark_sql('t')} as bigint) AS n").collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        want = con.sql("SELECT cast(" + tx.token_count_bpe_duckdb_sql("?::varchar")
+                       .replace("?::varchar", "$t::varchar") + " as bigint)",
+                       params={"t": t}).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)
+    con.close()
