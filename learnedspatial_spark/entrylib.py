@@ -412,6 +412,16 @@ def _multimodal_resize(spark, sf_dir):
     return multimodal.resize_images(media, max_dim=32).select("doc_id", "out_w", "out_h")
 
 
+def _multimodal_frames(spark, sf_dir):
+    """Frame-sampling plan for video rows: one row per sampled timestamp
+    (sequence/explode Column math; the frame decode itself is the honest
+    mp4 stub).  Durations are closed-form in doc_id for the synthetic
+    corpus, so the sampled-frame set has an exact DuckDB twin."""
+    media = multimodal.attach_fake_media(_docs(spark, sf_dir))
+    return (multimodal.frame_sample_plan(media, every_ms=1000)
+            .select("doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")))
+
+
 def _dup_stats(spark, sf_dir):
     """P7 duplicate statistics (GetAllTheStatistics, src/main.cpp:257-294):
     total, distinct x, distinct y, distinct (x,y)."""
@@ -616,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[f"range_count_{scheme}"] = _mk_range_count(scheme, "learned")
     out["distance_materialize"] = _distance_materialize
     out["pip_pairs"] = _pip_pairs
+    out["multimodal_frames"] = _multimodal_frames
     return out
 
 
@@ -1055,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
         "  when 1 then cast(doc_id % 20000 - 10000 as double) "
         "  else cast(-1 as double) end AS mean_v "
         "FROM documents")
+    out["multimodal_frames"] = (
+        "SELECT doc_id, unnest(generate_series(0, cast(doc_id % 60000 as bigint), 1000)) "
+        "AS frame_ts_ms FROM documents WHERE doc_id % 3 = 2")
     out["simhash_md5_table"] = (
         f"WITH {_simhash_md5_core_sql()} SELECT doc_id, sim_lo, sim_hi FROM sim")
     out["simhash_neardup_pairs"] = _simhash_neardup_sql()
