@@ -259,3 +259,45 @@ def test_bpe_token_pattern_dialect_parity(spark):
                        params={"t": t}).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
     con.close()
+
+
+def test_bpe_and_simhash_fuzz_parity(spark):
+    """Seeded random-text fuzz: 150 strings over a mixed alphabet
+    (ascii letters, digits, punct, unicode, tabs/newlines, apostrophes) —
+    BPE token counts must agree Spark vs DuckDB, and lane-packed simhash
+    must agree with the pure-Python md5 reference."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from learnedspatial_spark.functions import text as tx
+    from learnedspatial_spark.operators import dedup
+
+    rng = np.random.default_rng(4242)
+    alphabet = list("abcXYZ 019.,!?'-\t\n") + ["ñ", "ü", "中", "€"]
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(1, 80)))
+             for _ in range(150)]
+    df = spark.createDataFrame(list(enumerate(texts)), "i bigint, t string")
+
+    got_bpe = {r["i"]: r["n"] for r in df.selectExpr(
+        "i", f"cast({tx.token_count_bpe_spark_sql('t')} as bigint) AS n").collect()}
+    con = duckdb.connect()
+    con.register("fuzz", __import__("pandas").DataFrame({"i": range(len(texts)), "t": texts}))
+    want_bpe = dict(con.sql(
+        f"SELECT i, cast({tx.token_count_bpe_duckdb_sql('t')} as bigint) FROM fuzz").fetchall())
+    con.close()
+    assert got_bpe == want_bpe
+
+    sim = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in dedup.simhash_md5_table(
+        df.selectExpr("i AS doc_id", "t AS text"), ngram=3).collect()}
+    for i, t in enumerate(texts):
+        sums = [0] * 64
+        for p in range(max(len(t) - 2, 1)):
+            h = hashlib.md5(t[p:p + 3].encode("utf-8")).hexdigest()
+            for j in range(64):
+                v = int(h[j // 4], 16)
+                sums[j] += 1 if (v // (2 ** (3 - j % 4))) % 2 == 1 else -1
+        lo = sum(1 << j for j in range(32) if sums[j] > 0)
+        hi = sum(1 << (j - 32) for j in range(32, 64) if sums[j] > 0)
+        assert sim[i] == (lo, hi), (i, t)
