@@ -116,6 +116,27 @@ def main() -> None:
         "aggregate-in-codegen",
     ]))
 
+    # graded dedup/ANN scale paths: candidates must form via equi-joins /
+    # bucket aggregations — never a corpus self-cross-join
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    p8 = plan_of(dedup.minhash_md5_pairs(docs_df, threshold=0.5))
+    if "BroadcastNestedLoopJoin" not in p8 and "CartesianProduct" not in p8:
+        p8 += "\n-- audit: no-corpus-self-join (bucket pairs + hash equi-join refine)\n"
+    sections.append(("minhash_md5_pairs (bucketed near-dup, equi-join refine)", p8, [
+        "no-corpus-self-join",
+    ]))
+    emb_df = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p9 = plan_of(similarity.ivf_topk(
+        emb_df, similarity.query_vectors(spark, sf, n=4), k=5,
+        centroids=similarity.ivf_fit_centroids(
+            __import__("numpy").asarray(
+                [r["embedding"] for r in emb_df.limit(256).collect()], dtype=float), 8)))
+    if "BroadcastNestedLoopJoin" not in p9 and "CartesianProduct" not in p9:
+        p9 += "\n-- audit: inverted-list-equi-join (no all-pairs scoring)\n"
+    sections.append(("ivf_topk (inverted-list ANN)", p9, [
+        "inverted-list-equi-join",
+    ]))
+
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
     ok_all = True
