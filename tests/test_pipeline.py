@@ -254,3 +254,14 @@ def test_pipeline_empty_source_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="empty point source"):
         pipeline.build_tiled_index(spark, None, str(tmp_path / "idx"),
                                    points_df=empty)
+
+
+def test_pipeline_auto_coarsens_cell_count(spark, tmp_path):
+    """build_tiled_index applies the same O(#cells) guard as the engine:
+    partition_size=1 with max_cells=50 must coarsen, not build 60k cells."""
+    from learnedspatial_spark.sources.points import points_df
+    out = pipeline.build_tiled_index(
+        spark, None, str(tmp_path / "idx_coarse"),
+        points_df=points_df(spark, "/root/testdata/sf0.001"),
+        partition_size=1, max_cells=50)
+    assert out["cells"] <= 51, out["cells"]
