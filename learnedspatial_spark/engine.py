@@ -105,7 +105,8 @@ class SpatialEngine:
         self.spark = spark
         self.sf_dir = sf_dir
         self.scheme = scheme
-        self.partition_size = partition_size
+        # self.partition_size is set ONCE below, after the count is known,
+        # via effective_partition_size — no raw value is ever observable
         self.refine = refine
         # skew handling (north rule): cells with > salt_rows points are
         # sub-split by a deterministic salt; probes group on (cell_id, salt)

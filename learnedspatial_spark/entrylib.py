@@ -567,8 +567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver evidence lead; per-scheme ``range_count_*`` variants beyond
     fixed_grid — the most redundant green rows (each scheme's routing is
     independently evidenced by its ``tile_assign_*`` twin) — plus
-    ``distance_materialize``/``pip_pairs`` (both green in round 2 and
-    shadowed by their tiled twins) sit past position 50."""
+    ``distance_materialize``/``pip_pairs`` (green in round 2, shadowed by
+    their tiled twins) and ``events_json_kv`` (green in round 2; the
+    events substrate keeps three in-window entries) sit past position
+    50."""
     out: dict[str, Callable] = {}
     # --- entries that had no driver row yet (round-2 positions 51-56) ---
     out["ivf_ann_topk"] = _ivf_ann
@@ -576,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_neardup_lsh"] = _emb_neardup_lsh
     out["multimodal_features"] = _multimodal
     out["multimodal_resize"] = _multimodal_resize
+    out["multimodal_frames"] = _multimodal_frames  # new (round 3)
     out["rolling_fingerprint"] = _rolling_fp
     out["spatial_from_files"] = _spatial_from_files  # new (round 3)
     # --- spatial core ---
@@ -608,7 +611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_window_stats"] = _events_window
     out["events_window_stats_stream"] = _events_window_stream
     out["events_sessionize"] = _events_sessionize
-    out["events_json_kv"] = _events_json_kv
     out["dup_stats"] = _dup_stats
     out["bbox"] = _bbox
     out["cells_touched_fixed_grid"] = _cells_touched
@@ -620,13 +622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_md5_table"] = _simhash_md5
     out["lsh_ann_topk"] = _lsh_ann
     # ---------------- grading-window boundary (position 50) ----------------
-    # everything below already has a green round-2 CORRECTNESS row
+    # everything below already has a green round-2 CORRECTNESS row (the
+    # most redundant green slots: per-scheme range_count twins, the
+    # materialize/pairs variants shadowed by their tiled twins, and the
+    # JSON-extraction entry whose substrate events_sessionize also covers)
     for scheme in SCHEMES:
         if scheme != "fixed_grid":
             out[f"range_count_{scheme}"] = _mk_range_count(scheme, "learned")
     out["distance_materialize"] = _distance_materialize
     out["pip_pairs"] = _pip_pairs
-    out["multimodal_frames"] = _multimodal_frames
+    out["events_json_kv"] = _events_json_kv
     return out
 
 

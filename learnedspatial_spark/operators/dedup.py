@@ -189,22 +189,19 @@ def _simhash_packed_pos(j: int) -> tuple[str, int]:
 
 def _simhash_count_expr(j: int) -> str:
     """Shingle count with digest bit j set, extracted from the lane-packed
-    sums of :func:`simhash_md5_table`.  w0 sums ``p{q}`` pack positions
-    (q, q+24); w1 sums ``q{q}`` pack positions (q, q+8) via the
-    bit-doubled word (copies at p and p+16), i.e. lanes at (q, q+24)."""
+    sums of :func:`simhash_md5_table`.  Each sum accumulates
+    ``S_low + S_high * 2^24`` (the masked pair is shifted down to
+    positions 0/24 BEFORE summing, so headroom is a true 24 bits per lane
+    regardless of the bits' native positions): w0 sums ``p{q}`` carry
+    positions (q, q+24); w1 sums ``q{q}`` carry h16b bits (q, q+8)."""
     col, p = _simhash_packed_pos(j)
     if col == "w0":
-        q, lane = p % _LANE, p // _LANE
-        shift = q + lane * _LANE
-        name = f"p{q}"
+        name, lane = f"p{p % _LANE}", p // _LANE
     else:
-        q, lane = p % 8, p // 8
-        shift = q + lane * _LANE if lane == 0 else (p - 8) + _LANE
-        name = f"q{q}"
-    expr = f"shiftright({name}, {shift})"
+        name, lane = f"q{p % 8}", p // 8
     if lane == 0:
-        expr = f"pmod({expr}, {1 << _LANE})"
-    return expr
+        return f"pmod({name}, {1 << _LANE})"
+    return f"shiftright({name}, {_LANE})"
 
 
 def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
@@ -215,14 +212,18 @@ def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     two integer halves -> one map-side-combining hash aggregation per doc.
 
     The per-bit counts are LANE-PACKED masked sums: digest bits at packed
-    positions q and q+24 share one ``sum(half & mask)`` accumulator (24
-    bits of headroom per lane), so 64 bit-counts need 32 sum aggregates +
-    one count instead of 64 per-bit string probes per exploded row (the
-    previous formulation; measured ~2.5x slower and the dominant cost).
-    Bit j of the signature is set iff 2*S_j > n_shingles — exactly the
-    sum(±1) > 0 majority rule, so results are bit-identical to the DuckDB
-    per-bit twin.  Headroom bound: a document over 2^24-1 shingles
-    (~16.7M chars) would overflow a lane; chunk such documents upstream.
+    positions q and q+24 share one ``sum(shiftright(half & mask, q))``
+    accumulator — the shift normalizes the pair to positions 0/24 before
+    summing, so BOTH lanes get a true 24 bits of headroom (summing the
+    un-shifted mask instead would leave the top positions only 63-47=16
+    bits and overflow int64 at ~2^17 shingles).  64 bit-counts thus need
+    32 sum aggregates + one count instead of 64 per-bit string probes per
+    exploded row (the previous formulation; measured ~2.5x slower and the
+    dominant cost).  Bit j of the signature is set iff 2*S_j > n_shingles
+    — exactly the sum(±1) > 0 majority rule, so results are bit-identical
+    to the DuckDB per-bit twin.  Headroom bound (now real): a document
+    over 2^24-1 shingles (~16.7M chars) would overflow a lane; chunk such
+    documents upstream.
 
     Cross-engine-checkable (``entrylib`` carries the DuckDB twin), unlike
     :func:`simhash_table` whose splitmix mixing needs uint64 wraparound
@@ -242,10 +243,12 @@ def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
          # double the 16-bit half (copies at p and p+16) so its 16 bits
          # also pack as 8 two-lane sums with 24-bit spacing
          .select("doc_id", "w0", F.expr("h16b | shiftleft(h16b, 16)").alias("w1")))
-    aggs = [F.sum(F.expr(f"w0 & cast({(1 << q) | (1 << (q + _LANE))} as bigint)")).alias(f"p{q}")
-            for q in range(_LANE)]
-    aggs += [F.sum(F.expr(f"w1 & cast({(1 << q) | (1 << (q + _LANE))} as bigint)")).alias(f"q{q}")
-             for q in range(8)]
+    aggs = [F.sum(F.expr(
+        f"shiftright(w0 & cast({(1 << q) | (1 << (q + _LANE))} as bigint), {q})")).alias(f"p{q}")
+        for q in range(_LANE)]
+    aggs += [F.sum(F.expr(
+        f"shiftright(w1 & cast({(1 << q) | (1 << (q + _LANE))} as bigint), {q})")).alias(f"q{q}")
+        for q in range(8)]
     aggs.append(F.count(F.lit(1)).alias("nsh"))
     bits = g.groupBy("doc_id").agg(*aggs)
     lo = " + ".join(

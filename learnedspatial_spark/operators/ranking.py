@@ -43,6 +43,12 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
     eagerly (quantile sketch + per-bucket counts); the returned plan has no
     unpartitioned window."""
     lead = order_cols[0]
+    # cache the input across the two eager driver jobs (quantile sketch +
+    # bucket counts): persist keeps lineage (executor loss recomputes —
+    # unlike localCheckpoint) and is dropped right after the counts job,
+    # so nothing stays pinned; the returned plan recomputes the upstream
+    # once at materialization, same as before this cache existed
+    df = df.persist()
     seps = df.approxQuantile(lead, [i / n_buckets for i in range(1, n_buckets)], 0.001)
     seps = sorted(set(seps))
     if seps:
@@ -57,13 +63,10 @@ def with_global_rank(df: DataFrame, order_cols: list[str], rank_col: str = "rank
             f"else {terms} end as bigint)")
     else:
         bucket = F.lit(0).cast("bigint")
-    # one eager materialization serves the bucket-count job AND every later
-    # read of the ranked plan (and truncates lineage): without it the
-    # upstream plan — e.g. the engine's derived point set — recomputes for
-    # the quantile job, the count job, and each downstream materialization
-    b = df.withColumn(bucket_col, bucket).localCheckpoint(eager=True)
+    b = df.withColumn(bucket_col, bucket)
     cnts = {int(r[bucket_col]): int(r["cnt"])
             for r in b.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    df.unpersist(blocking=False)
     offsets: dict[int, int] = {}
     acc = 0
     for k in sorted(cnts):

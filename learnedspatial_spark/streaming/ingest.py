@@ -120,12 +120,17 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     a missing file would otherwise match nothing and silently yield an
     empty (wrong) stream."""
     import os
+    import re
     rs = spark.readStream.schema(EVENTS_SCHEMA)
     if os.path.isdir(events_path):
         return rs.parquet(events_path)
     if not os.path.isfile(events_path):
         raise FileNotFoundError(f"events table not found: {events_path}")
-    return (rs.option("pathGlobFilter", os.path.basename(events_path))
+    # escape glob metacharacters: a literal '[', '{', '*', '?' in the
+    # filename would otherwise act as a pattern and match nothing —
+    # exactly the silent-empty-stream failure this routing exists to avoid
+    glob_safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", os.path.basename(events_path))
+    return (rs.option("pathGlobFilter", glob_safe)
             .parquet(os.path.dirname(events_path)))
 
 

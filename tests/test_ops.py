@@ -212,12 +212,31 @@ def test_multimodal_resize_dims_and_determinism(spark):
            {r["doc_id"]: bytes(r["resized"]) for r in rows2}
 
 
-def test_simhash_md5_lane_packing_matches_python(spark):
-    """Pure-Python md5 simhash reference vs the lane-packed Spark
-    aggregation — guards the packed-position arithmetic (digest bit ->
-    half/lane/shift) independently of the DuckDB twin."""
+def _py_simhash(t: str, ngram: int = 3) -> tuple[int, int]:
+    """Single reference implementation of the md5 simhash (shared by the
+    unit, fuzz, and big-doc tests so the asserted semantics cannot
+    drift): per-shingle md5, per-bit majority over hex-digit weights."""
     import hashlib
 
+    import numpy as np
+    n = max(len(t) - (ngram - 1), 1)
+    digs = [hashlib.md5(t[p:p + ngram].encode("utf-8")).hexdigest() for p in range(n)]
+    chars = np.array([[int(h[c], 16) for c in range(16)] for h in digs], dtype=np.int64)
+    lo = hi = 0
+    for j in range(64):
+        bits = (chars[:, j // 4] >> (3 - j % 4)) & 1
+        if 2 * int(bits.sum()) > n:
+            if j < 32:
+                lo |= 1 << j
+            else:
+                hi |= 1 << (j - 32)
+    return lo, hi
+
+
+def test_simhash_md5_lane_packing_matches_python(spark):
+    """Python md5 simhash reference vs the lane-packed Spark aggregation —
+    guards the packed-position arithmetic (digest bit -> half/lane/shift)
+    independently of the DuckDB twin."""
     from learnedspatial_spark.operators import dedup
 
     texts = ["abcabcabc", "hello world!", "ñöç unicode ábc",
@@ -226,16 +245,23 @@ def test_simhash_md5_lane_packing_matches_python(spark):
     got = {r["doc_id"]: (r["sim_lo"], r["sim_hi"])
            for r in dedup.simhash_md5_table(docs, ngram=3).collect()}
     for i, t in enumerate(texts):
-        n = max(len(t) - 2, 1)
-        sums = [0] * 64
-        for p in range(n):
-            h = hashlib.md5(t[p:p + 3].encode("utf-8")).hexdigest()
-            for j in range(64):
-                v = int(h[j // 4], 16)
-                sums[j] += 1 if (v // (2 ** (3 - j % 4))) % 2 == 1 else -1
-        lo = sum(1 << j for j in range(32) if sums[j] > 0)
-        hi = sum(1 << (j - 32) for j in range(32, 64) if sums[j] > 0)
-        assert got[i] == (lo, hi), (i, t)
+        assert got[i] == _py_simhash(t), (i, t)
+
+
+def test_simhash_big_document_no_lane_overflow(spark):
+    """A 140k-char document (~2^17 shingles) exceeds the int64 headroom of
+    naive un-shifted mask sums (top lane at bit 47 would overflow at
+    ~131k shingles, an ANSI SparkArithmeticException) — the shifted
+    lane-packing must stay exact far past it."""
+    import numpy as np
+
+    from learnedspatial_spark.operators import dedup
+
+    rng = np.random.default_rng(11)
+    t = "".join(rng.choice(list("abcdefgh 0123.!"), size=140_000))
+    docs = spark.createDataFrame([(0, t)], "doc_id bigint, text string")
+    row = dedup.simhash_md5_table(docs, ngram=3).collect()[0]
+    assert (row["sim_lo"], row["sim_hi"]) == _py_simhash(t)
 
 
 def test_bpe_token_pattern_dialect_parity(spark):
@@ -266,8 +292,6 @@ def test_bpe_and_simhash_fuzz_parity(spark):
     (ascii letters, digits, punct, unicode, tabs/newlines, apostrophes) —
     BPE token counts must agree Spark vs DuckDB, and lane-packed simhash
     must agree with the pure-Python md5 reference."""
-    import hashlib
-
     import duckdb
     import numpy as np
 
@@ -292,12 +316,4 @@ def test_bpe_and_simhash_fuzz_parity(spark):
     sim = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in dedup.simhash_md5_table(
         df.selectExpr("i AS doc_id", "t AS text"), ngram=3).collect()}
     for i, t in enumerate(texts):
-        sums = [0] * 64
-        for p in range(max(len(t) - 2, 1)):
-            h = hashlib.md5(t[p:p + 3].encode("utf-8")).hexdigest()
-            for j in range(64):
-                v = int(h[j // 4], 16)
-                sums[j] += 1 if (v // (2 ** (3 - j % 4))) % 2 == 1 else -1
-        lo = sum(1 << j for j in range(32) if sums[j] > 0)
-        hi = sum(1 << (j - 32) for j in range(32, 64) if sums[j] > 0)
-        assert sim[i] == (lo, hi), (i, t)
+        assert sim[i] == _py_simhash(t), (i, t)

@@ -193,7 +193,7 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert all(r["c"] == 1 for r in rows)
 
 
-def test_streaming_filesink_reconciles_with_complete(spark, tmp_path):
+def test_streaming_filesink_reconciles_with_complete(spark, tmp_path, sf_dir):
     """Append-mode parquet file sink (the production sink) vs the
     complete-mode memory sink (the grading bridge): every window the file
     sink emits must equal the complete-mode row exactly, and the only
@@ -203,7 +203,7 @@ def test_streaming_filesink_reconciles_with_complete(spark, tmp_path):
 
     from learnedspatial_spark.streaming import ingest
 
-    src = "/root/testdata/sf0.001/events.parquet"
+    src = f"{sf_dir}/events.parquet"
     comp = ingest.events_window_stats_stream(spark, src)
     want = {(r["window_id"], r["event_type"]): (r["cnt"], r["vmin"], r["vmax"])
             for r in comp.collect()}
@@ -231,6 +231,24 @@ def test_read_events_stream_fails_fast_on_missing(spark, tmp_path):
     from learnedspatial_spark.streaming import ingest
     with _pytest.raises(FileNotFoundError):
         ingest.read_events_stream(spark, str(tmp_path / "nope.parquet"))
+
+
+def test_read_events_stream_glob_metachars_in_name(spark, tmp_path, sf_dir):
+    """A filename containing glob metacharacters must stream its own rows
+    (escaped filter), not silently match nothing."""
+    import shutil
+
+    from learnedspatial_spark.streaming import ingest
+    dst = tmp_path / "events[v2].parquet"
+    shutil.copy(f"{sf_dir}/events.parquet", dst)
+    ev = ingest.read_events_stream(spark, str(dst))
+    q = (ev.groupBy().count().writeStream.format("memory")
+         .queryName("glob_ev").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from glob_ev").collect()[0][0]
+    want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == want and got > 0
 
 
 def test_streaming_session_window_matches_batch(spark, tmp_path):
