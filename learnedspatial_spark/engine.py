@@ -68,11 +68,7 @@ def effective_partition_size(n: int, partition_size: int, max_cells: int) -> int
     return partition_size
 
 
-def _widen(lo: float, hi: float, ulps: int = 8) -> tuple[float, float]:
-    for _ in range(ulps):
-        lo = float(np.nextafter(lo, -np.inf))
-        hi = float(np.nextafter(hi, np.inf))
-    return lo, hi
+from .operators.probes import widen_ulps as _widen  # shared routing margin
 
 
 @dataclass
@@ -618,23 +614,10 @@ class SpatialEngine:
         k, bound R = max bbox-max-d2 of that prefix, probe all cells with
         min-d2 <= R — exact, and at scale only O(k/cell_size) cells probe.
         Local per-cell top-k inside the probe; global top-k via window."""
+        from .operators import probes
         s = self.cell_stats()
-        cellmap: dict[int, list[int]] = {}
-        for qi, (qid, qx, qy, k) in enumerate(queries):
-            dx = np.maximum(np.maximum(s.minx - qx, qx - s.maxx), 0.0)
-            dy = np.maximum(np.maximum(s.miny - qy, qy - s.maxy), 0.0)
-            dmin = dx * dx + dy * dy
-            ex = np.maximum(np.abs(qx - s.minx), np.abs(qx - s.maxx))
-            ey = np.maximum(np.abs(qy - s.miny), np.abs(qy - s.maxy))
-            dmax = ex * ex + ey * ey
-            order = np.argsort(dmin, kind="stable")
-            cum = np.cumsum(s.count[order])
-            need = int(np.searchsorted(cum, k)) + 1
-            need = min(need, order.shape[0])
-            R = float(dmax[order[:need]].max())
-            cand = s.ids[dmin <= R]
-            for c in cand:
-                cellmap.setdefault(int(c), []).append(qi)
+        cellmap = probes.knn_candidate_cells(
+            s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count, queries)
         qarr = np.asarray([[q[1], q[2], q[3]] for q in queries], dtype=np.float64)
         qid_arr = np.asarray([q[0] for q in queries], dtype=np.int64)
 
@@ -668,15 +651,7 @@ class SpatialEngine:
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
-            k = kmap.get(qid, 0)
-            d2 = pdf["d2"].to_numpy()
-            order = np.lexsort((pdf["pid"].to_numpy(), pdf["py"].to_numpy(),
-                                pdf["px"].to_numpy(), d2))[:k]
-            return pd.DataFrame({
-                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
-                "rnk": np.arange(1, order.shape[0] + 1, dtype=np.int64),
-                "pid": pdf["pid"].to_numpy()[order],
-            })
+            return probes.knn_merge_topk(pdf, qid, kmap.get(qid, 0))
 
         return parts.groupBy("query_id").applyInPandas(
             merge, schema="query_id bigint, rnk bigint, pid bigint")

@@ -157,6 +157,54 @@ def ray_cast_inside(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
     return (crossings % 2).astype(bool)
 
 
+def knn_candidate_cells(ids, minx, miny, maxx, maxy, count, queries) -> dict:
+    """Driver-side kNN cell pruning shared by BOTH engines (so the two
+    paths cannot drift): per query take cells ascending by bbox-min-d2
+    until their counts cover k, bound R = max bbox-max-d2 of that prefix,
+    and route the query to every cell with min-d2 <= R — exact by
+    construction.  Returns {cell_id: [query_index, ...]}."""
+    cellmap: dict[int, list[int]] = {}
+    for qi, (qid, qx, qy, k) in enumerate(queries):
+        dx = np.maximum(np.maximum(minx - qx, qx - maxx), 0.0)
+        dy = np.maximum(np.maximum(miny - qy, qy - maxy), 0.0)
+        dmin = dx * dx + dy * dy
+        ex = np.maximum(np.abs(qx - minx), np.abs(qx - maxx))
+        ey = np.maximum(np.abs(qy - miny), np.abs(qy - maxy))
+        dmax = ex * ex + ey * ey
+        order = np.argsort(dmin, kind="stable")
+        cum = np.cumsum(count[order])
+        need = min(int(np.searchsorted(cum, k)) + 1, order.shape[0])
+        R = float(dmax[order[:need]].max())
+        for c in ids[dmin <= R]:
+            cellmap.setdefault(int(c), []).append(qi)
+    return cellmap
+
+
+def knn_merge_topk(pdf, qid: int, k: int, id_col: str = "pid"):
+    """Per-query merge of the per-cell top-k partials (the associative
+    reduce both engines apply in their final applyInPandas): global order
+    (d2, x, y, id), first k rows -> (query_id, rnk, id)."""
+    import pandas as pd
+    order = np.lexsort((pdf[id_col].to_numpy(), pdf["py"].to_numpy(),
+                        pdf["px"].to_numpy(), pdf["d2"].to_numpy()))[:k]
+    return pd.DataFrame({
+        "query_id": np.full(order.shape[0], qid, dtype=np.int64),
+        "rnk": np.arange(1, order.shape[0] + 1, dtype=np.int64),
+        id_col: pdf[id_col].to_numpy()[order]})
+
+
+def widen_ulps(lo: float, hi: float, ulps: int = 8) -> tuple[float, float]:
+    """Widen a [lo, hi] routing bound by ``ulps`` float steps on each side
+    — the conservative margin BOTH engines must apply to the Matuschek
+    circle bbox before cell routing (the bbox math amplifies rounding
+    near the poles well past 1 ulp; an under-widened bound can prune a
+    cell holding a true inclusive-boundary hit)."""
+    for _ in range(ulps):
+        lo = float(np.nextafter(lo, -np.inf))
+        hi = float(np.nextafter(hi, np.inf))
+    return lo, hi
+
+
 def knn_local_topk(xs, ys, pids, qx, qy, k) -> np.ndarray:
     """Per-cell exact top-k candidate indices with the engine's total order
     (d2, x, y, pid); ties at the k-th distance widened before the lexsort

@@ -13,7 +13,6 @@ the full corpus; brute-force refine inside buckets only.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -115,7 +114,7 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", F.col("rnk").cast("bigint").alias("rnk"), "vec_id"))
 
 
-def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.35,
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
                           n_planes: int = 8, dim: int = 64, seed: int = 8128) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 100 TB path GRADED by the
     contract: candidates only form inside one hyperplane bucket (equi-join
@@ -175,7 +174,7 @@ def ivf_scores_expr(col: str, centroids: list[list[float]]) -> str:
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
-             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             n_centroids: int = 16, n_probe: int = 4,
              sample_rows: int = 4096, seed: int = 8128,
              centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: a coarse k-means quantizer (fit on a bounded

@@ -214,10 +214,11 @@ class TiledSpatialEngine:
         r2d = 180.0 / _math.pi
         cellmap: dict[int, list[int]] = {}
         for i in range(len(circles)):
-            fx = float(np.nextafter(mnla[i] * r2d, -np.inf))
-            tx = float(np.nextafter(mxla[i] * r2d, np.inf))
-            fy = float(np.nextafter(mnlo[i] * r2d, -np.inf))
-            ty = float(np.nextafter(mxlo[i] * r2d, np.inf))
+            # same 8-ulp conservative margin as SpatialEngine._distance_probe
+            # (the bbox math amplifies rounding past 1 ulp near the poles;
+            # an under-widened bound can prune a cell holding a true hit)
+            fx, tx = probes.widen_ulps(mnla[i] * r2d, mxla[i] * r2d)
+            fy, ty = probes.widen_ulps(mnlo[i] * r2d, mxlo[i] * r2d)
             for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
                 cellmap.setdefault(int(c), []).append(i)
         qlat = np.asarray([c[1] for c in circles])
@@ -244,7 +245,7 @@ class TiledSpatialEngine:
                             if hit.size:
                                 yield pd.DataFrame({
                                     "query_id": np.full(hit.size, qid_arr[t], dtype=np.int64),
-                                    "pid": hit})
+                                    id_col: hit})
                         continue
                     cnt = np.empty(qi.shape[0], dtype=np.int64)
                     for j, t in enumerate(qi):
@@ -254,7 +255,7 @@ class TiledSpatialEngine:
 
         if materialize:
             return self._pruned_scan(list(cellmap)).mapInPandas(
-                probe, schema=f"query_id bigint, pid {id_type}")
+                probe, schema=f"query_id bigint, {id_col} {id_type}")
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
             probe, schema="query_id bigint, cnt bigint")
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
@@ -301,7 +302,7 @@ class TiledSpatialEngine:
                             if hit.size:
                                 yield pd.DataFrame({
                                     "polygon_id": np.full(hit.size, gid, dtype=np.int64),
-                                    "pid": hit})
+                                    id_col: hit})
                         else:
                             out_g.append(gid)
                             out_c.append(int(inside.sum()))
@@ -311,7 +312,7 @@ class TiledSpatialEngine:
 
         if pairs:
             return self._pruned_scan(list(polymap)).mapInPandas(
-                probe, schema=f"polygon_id bigint, pid {id_type}")
+                probe, schema=f"polygon_id bigint, {id_col} {id_type}")
         parts = self._pruned_scan(list(polymap)).mapInPandas(
             probe, schema="polygon_id bigint, cnt bigint")
         agg = parts.groupBy("polygon_id").agg(F.sum("cnt").alias("cnt"))
@@ -325,24 +326,13 @@ class TiledSpatialEngine:
         per-cell top-k partials come from the pruned scan, the per-query
         merge is the one small shuffle."""
         s = self._cell_stats_np()
-        ids, minx, miny, maxx, maxy, count = (
-            s["ids"], s["minx"], s["miny"], s["maxx"], s["maxy"], s["count"])
-        cellmap: dict[int, list[int]] = {}
-        for qi_i, (qid, qx, qy, k) in enumerate(queries):
-            dx = np.maximum(np.maximum(minx - qx, qx - maxx), 0.0)
-            dy = np.maximum(np.maximum(miny - qy, qy - maxy), 0.0)
-            dmin = dx * dx + dy * dy
-            ex = np.maximum(np.abs(qx - minx), np.abs(qx - maxx))
-            ey = np.maximum(np.abs(qy - miny), np.abs(qy - maxy))
-            dmax = ex * ex + ey * ey
-            order = np.argsort(dmin, kind="stable")
-            cum = np.cumsum(count[order])
-            need = min(int(np.searchsorted(cum, k)) + 1, order.shape[0])
-            R = float(dmax[order[:need]].max())
-            for c in ids[dmin <= R]:
-                cellmap.setdefault(int(c), []).append(qi_i)
+        # shared pruning kernel (operators/probes.py) — identical to
+        # SpatialEngine.knn by construction
+        cellmap = probes.knn_candidate_cells(
+            s["ids"], s["minx"], s["miny"], s["maxx"], s["maxy"], s["count"], queries)
         qarr = np.asarray([[q[1], q[2], q[3]] for q in queries], dtype=np.float64)
         qid_arr = np.asarray([q[0] for q in queries], dtype=np.int64)
+        id_col, id_type = self._id_column()
 
         def probe(it):
             for pdf in it:
@@ -353,34 +343,31 @@ class TiledSpatialEngine:
                     if not qidx:
                         continue
                     xs = grp["x"].to_numpy(); ys = grp["y"].to_numpy()
-                    pids = grp["pid"].to_numpy()
+                    pids = grp[id_col].to_numpy()
                     for t in np.asarray(qidx, dtype=np.int64):
                         sel, d2 = probes.knn_local_topk(
                             xs, ys, pids, qarr[t, 0], qarr[t, 1], qarr[t, 2])
                         yield pd.DataFrame({
                             "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
-                            "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]})
+                            id_col: pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]})
 
         parts = self._pruned_scan(list(cellmap)).mapInPandas(
-            probe, schema="query_id bigint, pid bigint, d2 double, px double, py double")
+            probe, schema=f"query_id bigint, {id_col} {id_type}, d2 double, px double, py double")
         kmap = {int(q[0]): int(q[3]) for q in queries}
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
-            k = kmap.get(qid, 0)
-            order = np.lexsort((pdf["pid"].to_numpy(), pdf["py"].to_numpy(),
-                                pdf["px"].to_numpy(), pdf["d2"].to_numpy()))[:k]
-            return pd.DataFrame({
-                "query_id": np.full(order.shape[0], qid, dtype=np.int64),
-                "rnk": np.arange(1, order.shape[0] + 1, dtype=np.int64),
-                "pid": pdf["pid"].to_numpy()[order]})
+            return probes.knn_merge_topk(pdf, qid, kmap.get(qid, 0), id_col)
 
         return parts.groupBy("query_id").applyInPandas(
-            merge, schema="query_id bigint, rnk bigint, pid bigint")
+            merge, schema=f"query_id bigint, rnk bigint, {id_col} {id_type}")
 
     def range_materialize(self, rects: list[tuple], refine: str = "learned") -> DataFrame:
-        """(query_id, url, x, y) hit rows, shuffle-free (no aggregation at
-        all: the output IS the probe output).  ``refine`` selects the
+        """(query_id, <id>, x, y) hit rows — the id column keeps its
+        RESOLVED name (pid for derived-point indexes, url for page
+        indexes), matching SpatialEngine.range_materialize's naming on the
+        same data — shuffle-free (no aggregation at all: the output IS the
+        probe output).  ``refine`` selects the
         in-cell candidate-run search: the broadcast learned models
         (SplineCell analog) or plain binary search — result-identical, same
         shared ``probes.range_bounds`` path as range_count."""
@@ -413,7 +400,7 @@ class TiledSpatialEngine:
                         if sel.size:
                             yield pd.DataFrame({
                                 "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
-                                "url": urls[sel], "x": xs[sel], "y": ys[sel]})
+                                id_col: urls[sel], "x": xs[sel], "y": ys[sel]})
 
         return self._pruned_scan(list(cellmap)).mapInPandas(
-            probe, schema=f"query_id bigint, url {id_type}, x double, y double")
+            probe, schema=f"query_id bigint, {id_col} {id_type}, x double, y double")
