@@ -114,6 +114,7 @@ def main() -> None:
     timed("q_minhash_pairs", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, broadcast_texts=True).count())
     timed("q_minhash_md5_pairs", lambda: dedup.minhash_md5_pairs(docs, threshold=0.5).count())
     timed("q_simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs).count())
+    timed("q_neardup_clusters", lambda: dedup.neardup_clusters(docs, threshold=0.5).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())

@@ -352,6 +352,14 @@ def _simhash_md5(spark, sf_dir):
     return dedup.simhash_md5_table(_docs(spark, sf_dir))
 
 
+def _neardup_clusters(spark, sf_dir):
+    """Corpus-level near-dup clustering: connected components over the
+    minhash_md5_pairs edge set (iterative min-label propagation with
+    pointer jumping, O(log n) rounds), graded against a DuckDB recursive-
+    CTE transitive closure of the identical pair set."""
+    return dedup.neardup_clusters(_docs(spark, sf_dir), **_MINHASH_CFG)
+
+
 def _lsh_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = similarity.query_vectors(spark, sf_dir, n=_ANN_NQ)
@@ -568,9 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fixed_grid — the most redundant green rows (each scheme's routing is
     independently evidenced by its ``tile_assign_*`` twin) — plus
     ``distance_materialize``/``pip_pairs`` (green in round 2, shadowed by
-    their tiled twins) and ``events_json_kv`` (green in round 2; the
-    events substrate keeps three in-window entries) sit past position
-    50."""
+    their tiled twins), ``events_json_kv`` (green in round 2; the events
+    substrate keeps three in-window entries) and ``simhash_md5_table``
+    (green in round 2; its signature machinery is exercised in-window by
+    ``simhash_neardup_pairs``) sit past position 50."""
     out: dict[str, Callable] = {}
     # --- entries that had no driver row yet (round-2 positions 51-56) ---
     out["ivf_ann_topk"] = _ivf_ann
@@ -619,16 +628,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["ngram_jaccard_pairs"] = _ngram_jaccard
     out["simhash_neardup_pairs"] = _simhash_neardup
-    out["simhash_md5_table"] = _simhash_md5
+    out["neardup_clusters"] = _neardup_clusters  # new (round 3)
     out["lsh_ann_topk"] = _lsh_ann
     # ---------------- grading-window boundary (position 50) ----------------
     # everything below already has a green round-2 CORRECTNESS row (the
     # most redundant green slots: per-scheme range_count twins, the
-    # materialize/pairs variants shadowed by their tiled twins, and the
-    # JSON-extraction entry whose substrate events_sessionize also covers)
+    # materialize/pairs variants shadowed by their tiled twins, the
+    # JSON-extraction entry whose substrate events_sessionize also covers,
+    # and simhash_md5_table whose signature machinery simhash_neardup_pairs
+    # exercises in-window)
     for scheme in SCHEMES:
         if scheme != "fixed_grid":
             out[f"range_count_{scheme}"] = _mk_range_count(scheme, "learned")
+    out["simhash_md5_table"] = _simhash_md5
     out["distance_materialize"] = _distance_materialize
     out["pip_pairs"] = _pip_pairs
     out["events_json_kv"] = _events_json_kv
@@ -1078,6 +1090,17 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_simhash_md5_core_sql()} SELECT doc_id, sim_lo, sim_hi FROM sim")
     out["simhash_neardup_pairs"] = _simhash_neardup_sql()
     out["minhash_dedup_pairs"] = _minhash_sql(**_MINHASH_CFG)
+    # transitive closure of the SAME pair set (recursive CTE) -> per-doc
+    # min reachable id == the Spark label-propagation fixpoint
+    out["neardup_clusters"] = (
+        f"WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ({_minhash_sql(**_MINHASH_CFG)}) q), "
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM mp "
+        "  UNION ALL SELECT doc_b, doc_a FROM mp), "
+        "reach(u, v) AS (SELECT u, v FROM e "
+        "  UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u) "
+        "SELECT d.doc_id AS doc_id, "
+        "cast(least(d.doc_id, coalesce(min(r.v), d.doc_id)) as bigint) AS cluster_id "
+        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id")
     out["ngram_jaccard_pairs"] = _minhash_sql(**_NGRAM_CFG)
     out["lsh_ann_topk"] = _lsh_ann_sql()
     out["ivf_ann_topk"] = _ivf_ann_sql()

@@ -333,7 +333,12 @@ def minhash_md5_pairs(docs: DataFrame, threshold: float = 0.5, num_perm: int = 6
     bounds the refine).  No self-join over the corpus at any step."""
     a, b = minhash_perm_coeffs(num_perm, seed)
     rows_per_band = num_perm // bands
-    sh = shingle_hashes_md5(docs, ngram)
+    # the hashed-shingle table feeds FOUR consumers (signatures, set sizes,
+    # both refine join sides); without materialization each one re-runs the
+    # scan -> explode -> md5 -> distinct subtree.  One eager localCheckpoint
+    # computes it once and truncates the plan (same pattern + rationale as
+    # simhash_neardup_pairs' cluster table).
+    sh = shingle_hashes_md5(docs, ngram).localCheckpoint(eager=True)
     sigs = sh.groupBy("doc_id").agg(
         *[F.expr(f"min(({a[j]} * hm + {b[j]}) % {MINHASH_P})").alias(f"sig{j}")
           for j in range(num_perm)])
@@ -448,3 +453,69 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, ngram: int = 3)
              .select(F.explode(cross_members).alias("p"), "hamming")
              .select("p.doc_a", "p.doc_b", "hamming"))
     return intra.unionByName(inter)
+
+
+def neardup_clusters(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64,
+                     bands: int = 16, ngram: int = 4, seed: int = 40503,
+                     max_rounds: int = 30) -> DataFrame:
+    """Corpus-level near-duplicate CLUSTERING: connected components over the
+    :func:`minhash_md5_pairs` edge set — the step a real dedup run needs
+    beyond pairs (keep one representative per component, not per pair;
+    A~B, B~C must collapse A,B,C together even when A~C was never a
+    candidate).  Output one row per document, ``(doc_id, cluster_id)``
+    with ``cluster_id`` = min doc_id of the component (singletons cluster
+    to themselves).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    label(v) starts as v; each round takes ``min(label(v), min over
+    neighbors' labels)`` then jumps ``label(v) <- label(label(v))``, so a
+    min-id propagates along a path of length L in O(log L) rounds (plain
+    propagation would need L rounds).  Each round is two shuffle joins
+    keyed by doc_id over the LABEL table (edge endpoints only — near-dup
+    docs, a small fraction of the corpus), eagerly localCheckpoint-ed to
+    truncate lineage: the standard Spark iterative-graph pattern.  The
+    driver-side loop is bounded by O(log n) convergence, checked with a
+    per-round LIMIT 1 changed-row probe; a non-converged exit raises
+    rather than returning a wrong answer.  At 100 TB: the edge set is
+    LSH-bounded, every round's shuffles are keyed equi-joins, and the
+    final assembly is one left join back to the corpus."""
+    pairs = minhash_md5_pairs(docs, threshold, num_perm, bands, ngram, seed)
+    # undirected adjacency as directed edges both ways (pairs are distinct
+    # with doc_a < doc_b, so no duplicate directed edges)
+    fwd = pairs.select("doc_a", "doc_b")
+    edges = (fwd.unionByName(fwd.select(F.col("doc_b").alias("doc_a"),
+                                        F.col("doc_a").alias("doc_b")))
+             .localCheckpoint(eager=True))  # reused every round
+    lab = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
+           .select("doc_id", F.col("doc_id").alias("lbl"))
+           .localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (edges.join(lab.select(F.col("doc_id").alias("doc_b"),
+                                         F.col("lbl").alias("lbl_b")), "doc_b")
+                   .groupBy("doc_a").agg(F.min("lbl_b").alias("nmin"))
+                   .withColumnRenamed("doc_a", "doc_id"))
+        stepped = (lab.join(nbr_min, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("lbl", F.coalesce("nmin", F.col("lbl"))).alias("lbl"))
+                   .localCheckpoint(eager=True))
+        # pointer jumping: labels are themselves node ids, so label(label(v))
+        # is a self-join on the stepped table (min-ids only ever decrease)
+        parent = stepped.select(F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl"))
+        jumped = (stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
+                  .select("doc_id", F.coalesce("p_lbl", "lbl").alias("lbl"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(lab.select("doc_id", F.col("lbl").alias("old")), "doc_id")
+                   .where(F.col("lbl") != F.col("old")).limit(1).count())
+        lab = jumped
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_rounds} rounds; "
+            "raise max_rounds (components with diameter > 2^rounds)")
+    return (docs.select("doc_id")
+            .join(lab.select("doc_id", F.col("lbl").alias("cluster_id")), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).cast("bigint").alias("cluster_id")))

@@ -63,6 +63,40 @@ def test_minhash_finds_near_dups(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even when A~C is no candidate
+    pair — the property pairs alone don't give you.  Chain of step edits:
+    doc i and i+1 share most token shingles; ends of the chain differ a
+    lot.  Singletons cluster to themselves."""
+    import pandas as pd
+    words = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango"]
+    chain = []
+    toks = words[0].split()
+    for i in range(4):
+        t = list(toks)
+        for j in range(0, i * 2 + 2):   # CUMULATIVE prefix mutation: doc i
+            t[j] = f"mut{j}"            # and i+1 differ in just 2 tokens,
+        chain.append(" ".join(t))       # doc 0 and 3 in 6 (J ~= 0.36)
+    rows = [(10, chain[0]), (11, chain[1]), (12, chain[2]), (13, chain[3]),
+            (20, "totally unrelated content about something else entirely "
+                 "with its own vocabulary and nothing shared at all here")]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}))
+    from learnedspatial_spark.operators import dedup
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_md5_pairs(docs, threshold=0.5, bands=32).collect()}
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.neardup_clusters(docs, threshold=0.5, bands=32).collect()}
+    assert len(out) == 5
+    # ends of the chain must NOT be a direct pair (else the test is vacuous)
+    assert (10, 13) not in pairs
+    # but consecutive edits must chain 10..13 into one component
+    assert (10, 11) in pairs and (11, 12) in pairs and (12, 13) in pairs
+    assert out[10] == out[11] == out[12] == out[13] == 10
+    assert out[20] == 20
+
+
 def test_simhash_hamming():
     a = sk.simhash("the quick brown fox jumps over the lazy dog")
     b = sk.simhash("the quick brown fox jumps over the lazy cat")
