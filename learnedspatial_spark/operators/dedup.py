@@ -481,10 +481,14 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64
     final assembly is one left join back to the corpus."""
     pairs = minhash_md5_pairs(docs, threshold, num_perm, bands, ngram, seed)
     # undirected adjacency as directed edges both ways (pairs are distinct
-    # with doc_a < doc_b, so no duplicate directed edges)
-    fwd = pairs.select("doc_a", "doc_b")
-    edges = (fwd.unionByName(fwd.select(F.col("doc_b").alias("doc_a"),
-                                        F.col("doc_a").alias("doc_b")))
+    # with doc_a < doc_b, so no duplicate directed edges).  explode-of-two
+    # evaluates the pairs subtree ONCE — a union of pairs with its swap
+    # would embed (and run) the candidate+refine plan under both branches
+    edges = (pairs
+             .select(F.explode(F.array(
+                 F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                 F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))).alias("e"))
+             .select(F.col("e.u").alias("doc_a"), F.col("e.v").alias("doc_b"))
              .localCheckpoint(eager=True))  # reused every round
     lab = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
            .select("doc_id", F.col("doc_id").alias("lbl"))
@@ -495,26 +499,28 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64
                                          F.col("lbl").alias("lbl_b")), "doc_b")
                    .groupBy("doc_a").agg(F.min("lbl_b").alias("nmin"))
                    .withColumnRenamed("doc_a", "doc_id"))
+        # carry the incoming label as ``old`` so the convergence probe is a
+        # plain filter on the checkpointed table — no extra shuffle join
         stepped = (lab.join(nbr_min, "doc_id", "left")
-                   .select("doc_id",
+                   .select("doc_id", F.col("lbl").alias("old"),
                            F.least("lbl", F.coalesce("nmin", F.col("lbl"))).alias("lbl"))
                    .localCheckpoint(eager=True))
         # pointer jumping: labels are themselves node ids, so label(label(v))
         # is a self-join on the stepped table (min-ids only ever decrease)
         parent = stepped.select(F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl"))
         jumped = (stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
-                  .select("doc_id", F.coalesce("p_lbl", "lbl").alias("lbl"))
+                  .select("doc_id", "old", F.coalesce("p_lbl", "lbl").alias("lbl"))
                   .localCheckpoint(eager=True))
-        changed = (jumped.join(lab.select("doc_id", F.col("lbl").alias("old")), "doc_id")
-                   .where(F.col("lbl") != F.col("old")).limit(1).count())
-        lab = jumped
+        changed = jumped.where(F.col("lbl") != F.col("old")).limit(1).count()
+        lab = jumped.select("doc_id", "lbl")
         if changed == 0:
             converged = True
             break
     if not converged:
         raise RuntimeError(
-            f"neardup_clusters did not converge in {max_rounds} rounds; "
-            "raise max_rounds (components with diameter > 2^rounds)")
+            f"neardup_clusters: no zero-change round within max_rounds={max_rounds} "
+            "(labels may still be propagating, or the last change landed on the "
+            "final round and went unverified); raise max_rounds")
     return (docs.select("doc_id")
             .join(lab.select("doc_id", F.col("lbl").alias("cluster_id")), "doc_id", "left")
             .select("doc_id",
