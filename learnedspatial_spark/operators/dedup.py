@@ -480,10 +480,25 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64
     LSH-bounded, every round's shuffles are keyed equi-joins, and the
     final assembly is one left join back to the corpus."""
     pairs = minhash_md5_pairs(docs, threshold, num_perm, bands, ngram, seed)
+    lab = connected_components(pairs, max_rounds=max_rounds)
+    return (docs.select("doc_id")
+            .join(lab.select("doc_id", F.col("lbl").alias("cluster_id")), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).cast("bigint").alias("cluster_id")))
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    ``(doc_a, doc_b)`` — returns ``(doc_id, lbl)`` for every node that
+    appears in an edge, ``lbl`` = min node id of its component.  The
+    iterative graph kernel behind :func:`neardup_clusters`, exposed
+    separately so any edge set (near-dup pairs, link graphs) can be
+    clustered and so tests can drive it with constructed topologies."""
     # undirected adjacency as directed edges both ways (pairs are distinct
     # with doc_a < doc_b, so no duplicate directed edges).  explode-of-two
     # evaluates the pairs subtree ONCE — a union of pairs with its swap
-    # would embed (and run) the candidate+refine plan under both branches
+    # would embed (and run) the upstream candidate+refine plan under both
+    # branches
     edges = (pairs
              .select(F.explode(F.array(
                  F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
@@ -518,10 +533,7 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5, num_perm: int = 64
             break
     if not converged:
         raise RuntimeError(
-            f"neardup_clusters: no zero-change round within max_rounds={max_rounds} "
+            f"connected_components: no zero-change round within max_rounds={max_rounds} "
             "(labels may still be propagating, or the last change landed on the "
             "final round and went unverified); raise max_rounds")
-    return (docs.select("doc_id")
-            .join(lab.select("doc_id", F.col("lbl").alias("cluster_id")), "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("cluster_id", F.col("doc_id")).cast("bigint").alias("cluster_id")))
+    return lab

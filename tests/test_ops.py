@@ -97,6 +97,47 @@ def test_neardup_clusters_transitive(spark):
     assert out[20] == 20
 
 
+def test_connected_components_long_path_and_random(spark):
+    """Drive the label-propagation kernel directly with constructed edge
+    sets: a 24-node path with SHUFFLED ids (the min sits mid-path, so the
+    label must propagate ~12 hops — multiple pointer-jumping rounds, the
+    regime the end-to-end 4-chain test never reaches), plus a seeded
+    random graph cross-checked against a Python union-find."""
+    import random
+    import pandas as pd
+    from learnedspatial_spark.operators import dedup
+
+    def uf_labels(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in parent}
+
+    def check(edges):
+        pdf = pd.DataFrame({"doc_a": [e[0] for e in edges],
+                            "doc_b": [e[1] for e in edges]})
+        got = {r["doc_id"]: r["lbl"] for r in
+               dedup.connected_components(spark.createDataFrame(pdf)).collect()}
+        assert got == uf_labels(edges)
+
+    rng = random.Random(1234)
+    ids = list(range(100, 124))
+    rng.shuffle(ids)
+    check([(ids[i], ids[i + 1]) for i in range(len(ids) - 1)])
+
+    nodes = rng.sample(range(1000), 60)
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(45)]
+    check(edges)
+
+
 def test_simhash_hamming():
     a = sk.simhash("the quick brown fox jumps over the lazy dog")
     b = sk.simhash("the quick brown fox jumps over the lazy cat")
