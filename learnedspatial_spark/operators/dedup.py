@@ -510,22 +510,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
            .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_rounds):
-        nbr_min = (edges.join(lab.select(F.col("doc_id").alias("doc_b"),
-                                         F.col("lbl").alias("lbl_b")), "doc_b")
-                   .groupBy("doc_a").agg(F.min("lbl_b").alias("nmin"))
-                   .withColumnRenamed("doc_a", "doc_id"))
-        # carry the incoming label as ``old`` so the convergence probe is a
-        # plain filter on the checkpointed table — no extra shuffle join
-        stepped = (lab.join(nbr_min, "doc_id", "left")
-                   .select("doc_id", F.col("lbl").alias("old"),
-                           F.least("lbl", F.coalesce("nmin", F.col("lbl"))).alias("lbl"))
-                   .localCheckpoint(eager=True))
-        # pointer jumping: labels are themselves node ids, so label(label(v))
-        # is a self-join on the stepped table (min-ids only ever decrease)
-        parent = stepped.select(F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl"))
-        jumped = (stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
-                  .select("doc_id", "old", F.coalesce("p_lbl", "lbl").alias("lbl"))
-                  .localCheckpoint(eager=True))
+        # each half is checkpointed: ``stepped`` feeds the jump self-join
+        # twice (uncheckpointed, the nbr_min subtree would run twice) and
+        # ``jumped`` seeds the next round
+        stepped = _cc_step(edges, lab).localCheckpoint(eager=True)
+        jumped = _cc_jump(stepped).localCheckpoint(eager=True)
         changed = jumped.where(F.col("lbl") != F.col("old")).limit(1).count()
         lab = jumped.select("doc_id", "lbl")
         if changed == 0:
@@ -537,3 +526,27 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             "(labels may still be propagating, or the last change landed on the "
             "final round and went unverified); raise max_rounds")
     return lab
+
+
+def _cc_step(edges: DataFrame, lab: DataFrame) -> DataFrame:
+    """One propagation half-round: min over self + neighbor labels.  The
+    incoming label is carried as ``old`` so the round's convergence probe
+    is a plain filter — no extra shuffle join.  Split out (with
+    :func:`_cc_jump`) so the plan audit can assert the per-round shape:
+    keyed equi-joins only, never a cartesian."""
+    nbr_min = (edges.join(lab.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("lbl").alias("lbl_b")), "doc_b")
+               .groupBy("doc_a").agg(F.min("lbl_b").alias("nmin"))
+               .withColumnRenamed("doc_a", "doc_id"))
+    return (lab.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.col("lbl").alias("old"),
+                    F.least("lbl", F.coalesce("nmin", F.col("lbl"))).alias("lbl")))
+
+
+def _cc_jump(stepped: DataFrame) -> DataFrame:
+    """Pointer-jumping half-round: labels are themselves node ids, so
+    ``label(label(v))`` is an equi self-join on the stepped table (min-ids
+    only ever decrease)."""
+    parent = stepped.select(F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl"))
+    return (stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
+            .select("doc_id", "old", F.coalesce("p_lbl", "lbl").alias("lbl")))

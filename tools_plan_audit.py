@@ -30,6 +30,8 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from learnedspatial_spark.engine import SpatialEngine
     from learnedspatial_spark.operators import dedup, similarity
     from learnedspatial_spark.session import get_spark
@@ -125,6 +127,33 @@ def main() -> None:
     sections.append(("minhash_md5_pairs (bucketed near-dup, equi-join refine)", p8, [
         "no-corpus-self-join",
     ]))
+    # connected-components round (neardup_clusters kernel): every round
+    # must be keyed equi-joins over the checkpointed label table — never a
+    # cartesian — and the convergence probe a join-free filter
+    import pandas as pd
+    cc_edges = spark.createDataFrame(pd.DataFrame(
+        {"doc_a": [1, 2, 2, 3, 7, 8], "doc_b": [2, 1, 3, 2, 8, 7]})
+    ).localCheckpoint(eager=True)
+    cc_lab = (cc_edges.select(F.col("doc_a").alias("doc_id")).distinct()
+              .select("doc_id", F.col("doc_id").alias("lbl"))
+              .localCheckpoint(eager=True))
+    cc_stepped = dedup._cc_step(cc_edges, cc_lab)
+    p10 = plan_of(cc_stepped)
+    p10b = plan_of(dedup._cc_jump(cc_stepped.localCheckpoint(eager=True)))
+    p10c = plan_of(dedup._cc_jump(cc_stepped.localCheckpoint(eager=True))
+                   .localCheckpoint(eager=True)  # as in the kernel loop
+                   .where(F.col("lbl") != F.col("old")))
+    both = p10 + p10b
+    if "BroadcastNestedLoopJoin" not in both and "CartesianProduct" not in both:
+        p10 += "\n-- audit: equi-join-rounds (propagation + jump are keyed joins, no cartesian)\n"
+    if re.search(r"\bJoin", p10c.split("== Physical Plan ==")[-1]) is None:
+        p10 += "-- audit: join-free-probe (changed-row check is a filter on the checkpointed round)\n"
+    sections.append(("connected_components round (neardup_clusters kernel)",
+                     p10 + "\n-- jump half-round --\n" + p10b, [
+        "equi-join-rounds",
+        "join-free-probe",
+    ]))
+
     emb_df = spark.read.parquet(f"{sf}/embeddings.parquet")
     p9 = plan_of(similarity.ivf_topk(
         emb_df, similarity.query_vectors(spark, sf, n=4), k=5,
