@@ -265,3 +265,65 @@ def test_pipeline_auto_coarsens_cell_count(spark, tmp_path):
         points_df=points_df(spark, "/root/testdata/sf0.001"),
         partition_size=1, max_cells=50)
     assert out["cells"] <= 51, out["cells"]
+
+
+def test_spark_submit_cli_build_and_resume(tmp_path):
+    """The north-rule submission surface, end to end: package the engine
+    with tools_make_zip, launch run_pipeline.py through a REAL
+    ``spark-submit --py-files`` subprocess (fresh JVM; cwd is tmp so the
+    package can ONLY come from the zip), then re-run and assert the
+    checkpoint manifest resumes with zero cells re-fit."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import pytest
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(repo, "tools_make_zip.py")],
+                   check=True, capture_output=True, cwd=repo)
+    zip_path = os.path.join(repo, "learnedspatial_spark.zip")
+
+    pages_path = str(tmp_path / "pages.parquet")
+    # Spark's parquet reader rejects TIMESTAMP(NANOS) — write micros
+    datagen.pages_pdf(400).to_parquet(pages_path, index=False,
+                                      coerce_timestamps="us")
+    out_root = str(tmp_path / "idx")
+
+    def submit():
+        proc = subprocess.run(
+            [spark_submit, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", zip_path,
+             os.path.join(repo, "run_pipeline.py"),
+             "--pages", pages_path, "--out", out_root,
+             "--partition-size", "100"],
+            capture_output=True, text=True, timeout=600, cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        payload = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        assert payload, proc.stdout[-2000:]
+        return json.loads(payload[-1])
+
+    res1 = submit()
+    assert res1["rows"] == 400
+    assert res1["cells"] >= 2
+    assert res1["fitted"] == res1["cells"]
+
+    import duckdb
+    tiled_rows = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{res1['tiled_path']}/**/*.parquet')"
+    ).fetchone()[0]
+    assert tiled_rows == 400
+    models = duckdb.sql(
+        f"SELECT count(DISTINCT cell_id) FROM read_parquet('{res1['model_path']}/**/*.parquet')"
+    ).fetchone()[0]
+    assert models == res1["cells"]
+
+    res2 = submit()
+    assert res2["fitted"] == 0          # manifest resume: nothing re-fit
+    assert res2["cells"] == res1["cells"]
