@@ -172,9 +172,10 @@ class TiledSpatialEngine:
 
     def point_lookup(self, pts: list[tuple]) -> DataFrame:
         """Q3 fetch-one over the materialized index — entirely JVM: pruned
-        scan, broadcast equality join, min(pid-analog id) canonicalization.
-        Output (query_id, pid) with -1 for misses; requires a pid column in
-        the tiled table (derived-point indexes)."""
+        scan, broadcast equality join, min(id) canonicalization over the
+        resolved id column (pid for derived-point indexes, url for
+        page-built ones).  Output (query_id, <id>); misses are -1 for a
+        numeric pid, NULL otherwise."""
         qrows = []
         cells = set()
         for (qid, qx, qy) in pts:
@@ -183,13 +184,18 @@ class TiledSpatialEngine:
                 cells.add(int(c))
         qdf = self.spark.createDataFrame(
             qrows, "query_id bigint, qx double, qy double, cell_id bigint")
+        id_col, id_type = self._id_column()
         hit = (self._pruned_scan(sorted(cells))
                .join(F.broadcast(qdf), "cell_id")
                .where((F.col("x") == F.col("qx")) & (F.col("y") == F.col("qy")))
-               .groupBy("query_id").agg(F.min("pid").alias("pid")))
+               .groupBy("query_id").agg(F.min(id_col).alias(id_col)))
         alldf = self.spark.createDataFrame([(q[0],) for q in pts], "query_id bigint")
-        return alldf.join(hit, "query_id", "left").select(
-            "query_id", F.coalesce(F.col("pid"), F.lit(-1)).cast("bigint").alias("pid"))
+        out = alldf.join(hit, "query_id", "left")
+        if id_col == "pid":
+            return out.select(
+                "query_id",
+                F.coalesce(F.col("pid"), F.lit(-1)).cast("bigint").alias("pid"))
+        return out.select("query_id", F.col(id_col).cast(id_type).alias(id_col))
 
     def distance_count(self, circles: list[tuple]) -> DataFrame:
         """Q4 radius count over the materialized index: Matuschek bbox ->

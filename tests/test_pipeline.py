@@ -146,6 +146,17 @@ def test_tiled_engine_query_parity(spark, tmp_path):
     rows_b = eng.range_materialize(rects[:2], refine="binsearch").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows_b))
 
+    # point_lookup resolves the id column on a page-built index (url ids):
+    # a known coordinate returns the min url at that point, a miss NULL
+    probe_rows = flat.limit(1).collect()
+    px, py = probe_rows[0]["x"], probe_rows[0]["y"]
+    want_url = min(r["url"] for r in
+                   flat.where((F.col("x") == px) & (F.col("y") == py)).collect())
+    got_pl = {r["query_id"]: r["url"]
+              for r in eng.point_lookup([(0, px, py), (1, 12.3456, -55.4321)]).collect()}
+    assert got_pl[0] == want_url
+    assert got_pl[1] is None
+
     # partition pruning visible in the physical plan
     import io
     from contextlib import redirect_stdout
