@@ -130,8 +130,10 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # filename would otherwise act as a pattern and match nothing —
     # exactly the silent-empty-stream failure this routing exists to avoid
     glob_safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", os.path.basename(events_path))
+    # abspath: dirname of a bare relative filename is "", which Spark
+    # rejects ("Can not create a Path from an empty string")
     return (rs.option("pathGlobFilter", glob_safe)
-            .parquet(os.path.dirname(events_path)))
+            .parquet(os.path.dirname(os.path.abspath(events_path))))
 
 
 def _events_window_agg(ev: DataFrame) -> DataFrame:

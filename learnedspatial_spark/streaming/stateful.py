@@ -35,8 +35,9 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
         return
     first = None
     for pdf in pdf_iter:
-        if first is None and len(pdf):
+        if len(pdf):
             first = pdf.iloc[:1][["url", "warc_ts", "x", "y"]]
+            break   # remaining chunks are duplicates of this key — skip
     state.update((True,))
     if first is not None:
         yield first
@@ -111,6 +112,8 @@ def dedup_stream(points: DataFrame, impl: str = "native") -> DataFrame:
     keyed = points.withColumn("key_hash", F.xxhash64("url"))
     if impl == "native":
         return keyed.dropDuplicates(["key_hash"]).select("url", "warc_ts", "x", "y")
+    if impl != "state":
+        raise ValueError(f"dedup_stream impl must be 'native' or 'state', got {impl!r}")
     return (
         keyed.groupBy("key_hash")
         .applyInPandasWithState(
