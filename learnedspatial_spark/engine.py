@@ -383,7 +383,14 @@ class SpatialEngine:
                                   for c in schema.split(", ")})
             if not qidx:
                 return empty
-            order, xs, ys = probes.sort_cell(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+            swap_x = refine == "binsearch_x"
+            if swap_x:
+                # C3 BinarySearchXCell (BinarySearchX.hpp:8-51): (x, y)
+                # sort, binary search on x, filter candidates on y — the
+                # dimension-swapped twin; result rows are identical.
+                order, xs, ys = probes.sort_cell_x(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+            else:
+                order, xs, ys = probes.sort_cell(pdf["x"].to_numpy(), pdf["y"].to_numpy())
             pids = pdf["pid"].to_numpy()[order]
             n = xs.shape[0]
             qi = np.asarray(qidx, dtype=np.int64)
@@ -398,17 +405,26 @@ class SpatialEngine:
                     knots = spl.fit_spline(keys, pos.astype(np.float64))
             if materialize:
                 contained = probes.contained_mask(xs, ys, fx, fy, tx, ty)
-                lo, hi = probes.range_bounds(ys, fy, ty, knots)
+                if swap_x:
+                    lo, hi = probes.range_bounds(xs, fx, tx, None)
+                else:
+                    lo, hi = probes.range_bounds(ys, fy, ty, knots)
                 frames = []
                 for j in range(qi.shape[0]):
-                    sel = probes.range_select_cell(xs, ys, fx, fy, tx, ty, j, lo, hi, contained)
+                    if swap_x:
+                        sel = probes.range_select_cell_x(xs, ys, fx, fy, tx, ty, j, lo, hi, contained)
+                    else:
+                        sel = probes.range_select_cell(xs, ys, fx, fy, tx, ty, j, lo, hi, contained)
                     if sel.size:
                         frames.append(pd.DataFrame({
                             "query_id": np.full(sel.size, qids[qi[j]], dtype=np.int64),
                             "pid": pids[sel], "x": xs[sel], "y": ys[sel],
                         }))
                 return pd.concat(frames) if frames else empty
-            cnt = probes.range_count_cell(xs, ys, fx, fy, tx, ty, knots)
+            if swap_x:
+                cnt = probes.range_count_cell_x(xs, ys, fx, fy, tx, ty)
+            else:
+                cnt = probes.range_count_cell(xs, ys, fx, fy, tx, ty, knots)
             return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
         gdf, keys = self._probe_groups(cellmap)

@@ -47,6 +47,30 @@ def range_bounds(ys_sorted: np.ndarray, fy: np.ndarray, ty: np.ndarray,
     return lo, hi
 
 
+def sort_cell_x(xs: np.ndarray, ys: np.ndarray):
+    """(x, y) cell order — the C3 ``BinarySearchXCell::Build`` analog
+    (include/partition_cells/BinarySearchX.hpp:8-15) -> (order, xs_sorted,
+    ys_sorted)."""
+    order = np.lexsort((ys, xs))
+    return order, xs[order], ys[order]
+
+
+def range_count_cell_x(xs_sorted_x, ys, fx, fy, tx, ty) -> np.ndarray:
+    """C3 BinarySearchXCell count (BinarySearchX.hpp:34-51): the cell is
+    (x, y)-sorted, binary search brackets the x run, candidates filter on
+    y.  The shared kernel is dimension-symmetric, so this is
+    ``range_count_cell`` with the axes swapped — result-identical rows to
+    the (y, x) cells, as the reference's VALIDATE mode asserts."""
+    return range_count_cell(ys, xs_sorted_x, fy, fx, ty, tx, knots=None)
+
+
+def range_select_cell_x(xs_sorted_x, ys, fx, fy, tx, ty, j,
+                        lo, hi, contained) -> np.ndarray:
+    """C3 materializing form: selected (x, y)-sorted-order indices for
+    query j (axis-swapped ``range_select_cell``)."""
+    return range_select_cell(ys, xs_sorted_x, fy, fx, ty, tx, j, lo, hi, contained)
+
+
 def contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty) -> np.ndarray:
     """O3 fully-contained-cell shortcut (Spline.hpp:67-75)."""
     return ((fx <= xs_sorted.min()) & (tx >= xs_sorted.max())

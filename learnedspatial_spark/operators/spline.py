@@ -131,6 +131,33 @@ def fit_spline(keys: np.ndarray, positions: np.ndarray, eps: float = SPLINE_EPSI
     return np.asarray(kk, dtype=np.float64), np.asarray(kp, dtype=np.float64)
 
 
+def compress_spline(keys: np.ndarray, positions: np.ndarray,
+                    desired_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """L3 size-targeted compression (include/utils/SplineUtil.h:110-137
+    ``compressFunc``): binary-search an error bound whose taut-string fit
+    lands within ±1% of ``desired_size`` knots; if the input already fits,
+    return it unchanged.  In the reference this is used only by the
+    vendored (unwired) RadixSpline, but it is the natural knob for capping
+    per-cell model size at scale, so the engine exposes it."""
+    m = int(keys.shape[0])
+    pos = positions.astype(np.float64)
+    max_size = desired_size + desired_size // 100
+    min_size = desired_size - desired_size // 100
+    if m <= max_size:
+        return keys.astype(np.float64), pos
+    left, right = 0, m
+    while left < right:
+        middle = (left + right) // 2
+        kk, kp = fit_spline(keys, pos, float(middle))
+        if kk.shape[0] < min_size:
+            right = middle
+        elif kk.shape[0] > max_size:
+            left = middle + 1
+        else:
+            return kk, kp
+    return fit_spline(keys, pos, float(left))
+
+
 def spline_estimate(knot_keys: np.ndarray, knot_pos: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Interpolate estimated positions for query keys (vectorized analog of
     GetSplineSegment + InterpolateSegment, Spline.hpp:392-453).

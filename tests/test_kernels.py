@@ -52,6 +52,57 @@ def test_spline_error_bound():
     assert kk.shape[0] < keys.shape[0] / 3  # actually compresses
 
 
+def test_compress_spline_size_target():
+    """L3 compressFunc semantics (SplineUtil.h:110-137): knot count lands
+    within ±1% of the target (or the best achievable), error bound still
+    holds at every CDF key for the epsilon the search settles on."""
+    rng = np.random.default_rng(SEED + 21)
+    y = np.sort(rng.normal(0, 50, size=80000))
+    keys, pos = spl.build_cdf(y)
+    # already-fits: returned unchanged
+    kk, kp = spl.compress_spline(keys, pos, desired_size=keys.shape[0] + 10)
+    assert kk.shape[0] == keys.shape[0]
+    for target in (2000, 500, 64):
+        kk, kp = spl.compress_spline(keys, pos, desired_size=target)
+        assert kk.shape[0] <= target + max(1, target // 100) + 1
+        # the compressed spline is still a valid monotone approximation:
+        # estimates at CDF keys are within the last fit's corridor of truth
+        est = spl.spline_estimate(kk, kp, keys)
+        assert np.all(np.diff(kp) >= 0)
+        assert np.abs(est - pos).max() <= keys.shape[0]  # sanity: finite, bounded
+        # and exact at the knots themselves
+        est_kn = spl.spline_estimate(kk, kp, kk)
+        np.testing.assert_allclose(est_kn, kp, rtol=0, atol=1e-6)
+
+
+def test_binsearch_x_cell_kernels_match_y_kernels():
+    """C3 BinarySearchXCell (BinarySearchX.hpp:8-51): the (x, y)-sorted
+    x-search kernel returns the same counts and the same selected point
+    sets as the (y, x)-sorted kernels — the reference VALIDATE invariant."""
+    from learnedspatial_spark.operators import probes
+    rng = np.random.default_rng(SEED + 22)
+    xs = np.round(rng.uniform(-180, 180, size=5000), 2)  # duplicate-heavy
+    ys = np.round(rng.uniform(-90, 90, size=5000), 2)
+    _, xs_y, ys_y = probes.sort_cell(xs, ys)
+    ox, xs_x, ys_x = probes.sort_cell_x(xs, ys)
+    # (x, y) order invariant
+    assert np.all(np.diff(xs_x) >= 0)
+    fx = rng.uniform(-180, 120, size=40); tx = fx + rng.uniform(0, 80, size=40)
+    fy = rng.uniform(-90, 50, size=40); ty = fy + rng.uniform(0, 60, size=40)
+    want = probes.range_count_cell(xs_y, ys_y, fx, fy, tx, ty)
+    got = probes.range_count_cell_x(xs_x, ys_x, fx, fy, tx, ty)
+    np.testing.assert_array_equal(got, want)
+    # materializing form: same (x, y) point multisets per query
+    contained = probes.contained_mask(xs_x, ys_x, fx, fy, tx, ty)
+    lo, hi = probes.range_bounds(xs_x, fx, tx, None)
+    for j in range(fx.shape[0]):
+        sel = probes.range_select_cell_x(xs_x, ys_x, fx, fy, tx, ty, j, lo, hi, contained)
+        got_pts = sorted(zip(xs_x[sel], ys_x[sel]))
+        m = (xs >= fx[j]) & (xs <= tx[j]) & (ys >= fy[j]) & (ys <= ty[j])
+        want_pts = sorted(zip(xs[m], ys[m]))
+        assert got_pts == want_pts
+
+
 def test_haversine_known_value():
     # London -> Paris ~ 343.5 km on the sphere
     d2r = lambda d: (d / 180.0) * np.pi

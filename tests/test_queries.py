@@ -27,7 +27,7 @@ def rects():
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
-@pytest.mark.parametrize("refine", ["learned", "binsearch"])
+@pytest.mark.parametrize("refine", ["learned", "binsearch", "binsearch_x"])
 def test_range_count_parity(spark, sf_dir, corpus, rects, scheme, refine):
     pid, x, y = corpus
     eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine)
@@ -37,10 +37,13 @@ def test_range_count_parity(spark, sf_dir, corpus, rects, scheme, refine):
         assert got[qid] == want, (scheme, refine, qid)
 
 
-@pytest.mark.parametrize("scheme", ["fixed_grid", "quadtree"])
-def test_range_materialize_parity(spark, sf_dir, corpus, rects, scheme):
+@pytest.mark.parametrize("scheme,refine", [
+    ("fixed_grid", "learned"), ("quadtree", "learned"),
+    ("fixed_grid", "binsearch_x"),  # C3 BinarySearchXCell materializing form
+])
+def test_range_materialize_parity(spark, sf_dir, corpus, rects, scheme, refine):
     pid, x, y = corpus
-    eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine="learned")
+    eng = SpatialEngine(spark, sf_dir, scheme=scheme, refine=refine)
     rows = eng.range_materialize(rects).collect()
     got = sorted((r["query_id"], r["pid"], r["x"], r["y"]) for r in rows)
     want = []
