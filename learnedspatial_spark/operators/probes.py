@@ -181,6 +181,38 @@ def ray_cast_inside(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
     return (crossings % 2).astype(bool)
 
 
+EDGE_DTYPE = np.dtype([("low", "f8"), ("high", "f8"), ("id", "u8"),
+                       ("x1", "f8"), ("y1", "f8"), ("x2", "f8"), ("y2", "f8")])
+
+
+def build_edges(vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """X3 ``edge`` record analog (ds/interval_tree/edge.h:7-26): one packed
+    record per polygon edge carrying its y-interval [low, high], the edge
+    id, and both endpoints — exactly the payload the reference's interval
+    tree stores (unused even there; implemented for full parity).  Expects
+    a closed ring (last vertex == first), matching ``ray_cast_inside``."""
+    x1 = np.asarray(vx[:-1], dtype=np.float64)
+    y1 = np.asarray(vy[:-1], dtype=np.float64)
+    x2 = np.asarray(vx[1:], dtype=np.float64)
+    y2 = np.asarray(vy[1:], dtype=np.float64)
+    out = np.empty(x1.shape[0], dtype=EDGE_DTYPE)
+    out["low"] = np.minimum(y1, y2)
+    out["high"] = np.maximum(y1, y2)
+    out["id"] = np.arange(x1.shape[0], dtype=np.uint64)
+    out["x1"], out["y1"], out["x2"], out["y2"] = x1, y1, x2, y2
+    return out
+
+
+def stab_edges(edges: np.ndarray, y: float) -> np.ndarray:
+    """Interval stabbing over X3 edge records: the ids of edges whose
+    [low, high] y-interval contains ``y`` — the X2 interval-tree query the
+    edge records exist to answer.  A point's ray-cast crossing set is a
+    subset of its stab set (crossings need y in (low, high]), which the
+    kernel-parity test asserts."""
+    e = np.asarray(edges)
+    return e["id"][(e["low"] <= y) & (y <= e["high"])]
+
+
 def knn_candidate_cells(ids, minx, miny, maxx, maxy, count, queries) -> dict:
     """Driver-side kNN cell pruning shared by BOTH engines (so the two
     paths cannot drift): per query take cells ascending by bbox-min-d2

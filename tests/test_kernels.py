@@ -103,6 +103,91 @@ def test_binsearch_x_cell_kernels_match_y_kernels():
         assert got_pts == want_pts
 
 
+def _infimum_reference(data_sorted, key):
+    """Pure-Python port of example.cpp's LookUpInReference (12-26): the
+    std::multimap equal_range contract the vendored RadixSpline is
+    asserted against."""
+    import bisect
+    lo = bisect.bisect_left(data_sorted, key)
+    if lo == len(data_sorted):           # range.first == end
+        return len(data_sorted) - 1
+    if lo == 0:                           # range.first == begin
+        return 0
+    if data_sorted[lo] == key:
+        return lo
+    return lo - 1
+
+
+def test_radix_spline_whiteboard():
+    """example.cpp:44-77 WhiteBoardTets, verbatim inputs and asserts."""
+    from learnedspatial_spark.operators.radix_spline import RadixSplineIndex
+    idx = RadixSplineIndex(np.array([2, 5, 6, 8], dtype=np.uint64))
+    got = idx.get_index_of_infimum(np.array([5, 4, 1], dtype=np.uint64))
+    np.testing.assert_array_equal(got, [1, 0, 0])
+
+
+@pytest.mark.parametrize("duplicate_level", [0, 1, 2])
+def test_radix_spline_random(duplicate_level):
+    """example.cpp:79-121 RandomTest at all three duplicate levels: 10000
+    uniform keys in [0, 1e6] (level 2: //10000, heavy duplicates), 10000
+    lookups, every result equal to the multimap reference; plus the
+    structural invariants the vendored code relies on — radix-hint
+    brackets contain the knot segment, and the interpolated estimate is
+    within the build-measured max_err of a true position of the key's
+    distinct-CDF neighbor."""
+    from learnedspatial_spark.operators.radix_spline import RadixSplineIndex
+    rng = np.random.default_rng(SEED + duplicate_level)
+    keys = rng.integers(0, 1_000_001, size=10000).astype(np.uint64)
+    if duplicate_level == 2:
+        keys //= 10000
+    if duplicate_level == 0:
+        keys = np.unique(keys)
+    keys.sort()
+    idx = RadixSplineIndex(keys, num_radix_bits=12)
+    lookups = rng.integers(0, 1_000_001, size=10000).astype(np.uint64)
+    got = idx.get_index_of_infimum(lookups)
+    data_list = keys.tolist()
+    want = np.array([_infimum_reference(data_list, int(k)) for k in lookups])
+    np.testing.assert_array_equal(got, want)
+    # hint brackets contain the true knot lower_bound (radix_spline.h:117-145)
+    inside = np.clip(lookups, keys[0], keys[-1]).astype(np.float64)
+    begin, end = idx.hint_brackets(inside)
+    lb = np.searchsorted(idx.spline_keys, inside, side="left")
+    assert np.all(begin <= lb) and np.all(lb <= end)
+    # estimate stays inside the measured error corridor at every CDF key
+    cdf_keys, cdf_pos = spl.build_cdf(keys.astype(np.float64))
+    est = idx.estimate(cdf_keys)
+    assert np.abs(est - cdf_pos).max() <= idx.max_err + 1e-9
+    # the compression actually hit (or undershot) a small model
+    assert idx.spline_keys.shape[0] <= max(64, keys.shape[0] // 100)
+
+
+def test_edge_records_and_stabbing():
+    """X3 edge records (interval_tree/edge.h:7-26) + interval stabbing:
+    stabbing y returns exactly the edges whose y-interval covers y, and the
+    ray-cast crossing set at any point is a subset of its stab set — so an
+    interval-tree candidate pass loses no crossings."""
+    from learnedspatial_spark.operators import probes
+    rng = np.random.default_rng(SEED + 31)
+    # closed ring: random star polygon
+    ang = np.sort(rng.uniform(0, 2 * np.pi, size=17))
+    r = rng.uniform(1, 5, size=17)
+    vx = np.r_[r * np.cos(ang), r[0] * np.cos(ang[0])]
+    vy = np.r_[r * np.sin(ang), r[0] * np.sin(ang[0])]
+    edges = probes.build_edges(vx, vy)
+    assert edges.shape[0] == 17
+    np.testing.assert_array_equal(edges["id"], np.arange(17))
+    for y in rng.uniform(-5, 5, size=25):
+        stab = set(probes.stab_edges(edges, y).tolist())
+        brute = {i for i in range(17)
+                 if min(vy[i], vy[i + 1]) <= y <= max(vy[i], vy[i + 1])}
+        assert stab == brute
+        # crossing edges (ray-cast rule, open-low half-interval) subset
+        crossing = {i for i in range(17)
+                    if min(vy[i], vy[i + 1]) < y <= max(vy[i], vy[i + 1])}
+        assert crossing <= stab
+
+
 def test_haversine_known_value():
     # London -> Paris ~ 343.5 km on the sphere
     d2r = lambda d: (d / 180.0) * np.pi
