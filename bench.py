@@ -27,7 +27,8 @@ def host_probe_ns() -> float:
     ~120 ns; this VM has been observed 3-9x slower under host contention
     (CLAUDE.md).  Recorded in the output so absolute walls can be
     normalized across rounds — compare query times only after dividing by
-    (probe / 120)."""
+    (probe / 120).  NOTE: this probe is L1-cache-resident, so it is blind
+    to memory-BANDWIDTH contention — pair it with host_bandwidth_gbs()."""
     import numpy as np
     rng = np.random.default_rng(7)
     x = np.sort(rng.random(8000))
@@ -40,11 +41,43 @@ def host_probe_ns() -> float:
     return round(best * 1e9 / 1e6, 1)
 
 
+def host_bandwidth_gbs() -> tuple[float, float]:
+    """Single-thread memory probes -> (reuse_bw_gbs, pagetouch_gbs).
+
+    The searchsorted probe above is L1-resident and blind to memory
+    contention; this VM has been measured (2026-08-17) with searchsorted
+    QUIET (~115 ns) while *fresh page touch* ran at 0.01 GB/s (~1000x
+    degraded; 800 MB of np.ones took 69 s) and touched-page reuse at
+    0.6 GB/s (~15x degraded).  That mode murders Spark (JVM heap growth,
+    shuffle/Arrow buffers are all fresh pages) and the NumPy single-node
+    baselines while the ns/lookup witness shows nothing.  Quiet values:
+    reuse >= ~5 GB/s, page-touch >= ~1 GB/s.  Both passes are
+    time-bounded so a sick host can't stall the bench itself."""
+    import numpy as np
+    n = 8_000_000  # 64 MB/array: past LLC, bounded even at 0.01 GB/s
+    t0 = time.perf_counter()
+    a = np.ones(n)
+    pagetouch = 8 * n / (time.perf_counter() - t0) / 1e9
+    b = np.ones(n)
+    c = np.empty_like(a)
+    np.add(a, b, out=c)  # page-touch warmup for c
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.add(a, b, out=c)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        if dt > 1.0:  # already conclusive on a sick host; don't dwell
+            break
+    return round(3 * 8 * n / best / 1e9, 2), round(pagetouch, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     probe_before = host_probe_ns()
+    bw_before, pt_before = host_bandwidth_gbs()
 
     from learnedspatial_spark.engine import SpatialEngine
     from learnedspatial_spark.operators import dedup, similarity
@@ -184,6 +217,7 @@ def main() -> None:
 
     query_total = round(sum(v for k, v in timings.items() if k.startswith("q_")), 4)
     probe_after = host_probe_ns()
+    bw_after, pt_after = host_bandwidth_gbs()
     print(json.dumps({
         "metric": "headline suite wall time (build + spatial/dedup/ann queries)",
         "value": total,
@@ -203,6 +237,15 @@ def main() -> None:
         "host_probe_ns_before": probe_before,
         "host_probe_ns_after": probe_after,
         "host_contention_factor": round(max(probe_before, probe_after) / 120.0, 2),
+        # memory witnesses (quiet: reuse >= ~5 GB/s, page-touch >= ~1 GB/s;
+        # see host_bandwidth_gbs docstring for the observed sick mode)
+        "host_bw_gbs_before": bw_before,
+        "host_bw_gbs_after": bw_after,
+        "host_pagetouch_gbs_before": pt_before,
+        "host_pagetouch_gbs_after": pt_after,
+        "host_mem_contention_factor": round(max(
+            5.0 / max(min(bw_before, bw_after), 1e-3),
+            1.0 / max(min(pt_before, pt_after), 1e-3)), 2),
     }))
     spark.stop()
 
