@@ -168,6 +168,10 @@ def main() -> None:
     timed("q_minhash_md5_pairs", lambda: dedup.minhash_md5_pairs(docs, threshold=0.5).count())
     timed("q_simhash_neardup", lambda: dedup.simhash_neardup_pairs(docs).count())
     timed("q_neardup_clusters", lambda: dedup.neardup_clusters(docs, threshold=0.5).count())
+    from learnedspatial_spark.operators import corpus
+    timed("q_contamination_hits", lambda: corpus.contamination_hits(docs).count())
+    timed("q_vocab_topk", lambda: corpus.vocab_stats_topk(docs).count())
+    timed("q_mix_sample", lambda: corpus.mix_sample(docs).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())

@@ -1,0 +1,123 @@
+"""Corpus-level training-data ops: benchmark decontamination, vocabulary
+statistics, and deterministic stratified mix sampling.
+
+These extend the reference's data-processing surface (it has none of
+them — its corpus ops stop at duplicate statistics, `src/main.cpp:257-294`)
+with the operations a web-scale LLM training pipeline runs over the same
+`documents` substrate.  All three are pure DataFrame/Column plans (no
+Python in the hot path) with exact DuckDB twins in ``entrylib``.
+
+100 TB shapes:
+
+- :func:`contamination_hits` — the eval set is small by construction
+  (benchmark suites are KB-MB), so its distinct-gram table broadcasts;
+  the corpus side is ONE scan -> generate -> broadcast hash semi-join ->
+  one hash aggregation keyed by doc_id.  No self-join, no shuffle of the
+  corpus text.
+- :func:`vocab_stats_topk` — map-side-combined hash aggregation on token
+  (the canonical distributed wordcount), then a global top-k which Spark
+  executes as TakeOrderedAndProject (per-partition partial top-k, no full
+  sort).
+- :func:`mix_sample` — stateless per-row filter on a deterministic md5
+  bucket; embarrassingly parallel, no shuffle at all, reproducible across
+  runs/cluster sizes (the property that makes a training mix auditable).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hex_bigint_expr
+
+# ------------------------------------------------------------ decontamination
+
+CONTAM_GRAM = 18     # char-gram width: wide enough that matches mean shared
+                     # phrasing, not shared vocabulary (tuned on the corpus)
+CONTAM_MIN_HITS = 3  # flag a training doc only on >= 3 distinct shared grams
+EVAL_MOD, EVAL_REM = 101, 7  # eval split: doc_id % 101 == 7
+
+
+def _grams(docs: DataFrame, gram: int) -> DataFrame:
+    """(doc_id, g) for every ``gram``-char window of text.  Mirrors the
+    established shingle pattern (dedup.py): texts shorter than ``gram``
+    contribute their single truncated window — identical in the DuckDB
+    twin, which uses the same greatest(..., 1) guard."""
+    return (docs
+            .select("doc_id",
+                    F.expr(f"explode(sequence(1, greatest(length(text) - {gram - 1}, 1))) AS i"),
+                    "text")
+            .select("doc_id", F.expr(f"substring(text, i, {gram})").alias("g")))
+
+
+def contamination_hits(docs: DataFrame, gram: int = CONTAM_GRAM,
+                       min_hits: int = CONTAM_MIN_HITS,
+                       eval_mod: int = EVAL_MOD, eval_rem: int = EVAL_REM) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing >=
+    ``min_hits`` distinct ``gram``-char windows with the held-out eval
+    split (doc_id % eval_mod == eval_rem).
+
+    Output (doc_id, n_hit_grams) for flagged docs only.  The eval side is
+    distinct-deduped then BROADCAST — at web scale the eval suite is tiny
+    versus the corpus, so the corpus is scanned exactly once and the only
+    shuffle is the per-doc count aggregation."""
+    ev = (_grams(docs.where(F.expr(f"doc_id % {eval_mod} = {eval_rem}")), gram)
+          .select("g").distinct())
+    tr = _grams(docs.where(F.expr(f"doc_id % {eval_mod} <> {eval_rem}")), gram)
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hit_grams"))
+            .where(F.col("n_hit_grams") >= min_hits))
+
+
+# ------------------------------------------------------------------ vocabulary
+
+def vocab_stats_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-``k`` whitespace tokens of the lowercased corpus with term count
+    and document frequency — the vocabulary/IDF table a tokenizer build
+    starts from.  (tok, cnt, df), ordered (cnt desc, tok asc) so the k-th
+    boundary is deterministic; ``\\s+`` is ASCII-whitespace in both Java
+    regex and DuckDB's RE2."""
+    toks = (docs
+            .select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    return (toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(k))
+
+
+# ------------------------------------------------------------- mix sampling
+
+# Length band: 100-char buckets, capped at band 5.
+MIX_BAND_SQL = "least(cast(floor(n_chars / 100) as bigint), 5)"
+# Per-stratum keep-rate (percent): language base rate, thinned 5 pts per
+# length band, floored at 10% — an explicit, auditable mixing policy.
+MIX_RATE_SQL = (
+    "greatest((case when lang = 'en' then 60 when lang = 'de' then 40 "
+    f"else 25 end) - 5 * {MIX_BAND_SQL}, 10)"
+)
+
+
+def mix_bucket_sql(h: str = "h") -> str:
+    """Deterministic 0..99 bucket from the md5 of the doc id (digest hex
+    column ``h``) — instr/substring arithmetic both engines share."""
+    return f"({_hex_bigint_expr(h, 1, 6)} % 100)"
+
+
+def mix_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified training-mix sample: keep a document iff
+    its md5 bucket falls under its stratum's keep-rate (stratum = language
+    x length band).  Output (doc_id, lang, band, bucket).
+
+    Stateless per-row math — no shuffle, no RNG: the same document makes
+    the same cut on any cluster size, so a 100 TB mix is reproducible and
+    auditable after the fact (the property `sample(fraction)` does not
+    give you across re-partitions)."""
+    q = (docs
+         .withColumn("h", F.expr("md5(cast(doc_id as string))"))
+         .select("doc_id", "lang",
+                 F.expr(MIX_BAND_SQL).alias("band"),
+                 F.expr(mix_bucket_sql()).alias("bucket"),
+                 F.expr(MIX_RATE_SQL).cast("bigint").alias("rate")))
+    return q.where(F.col("bucket") < F.col("rate")).select("doc_id", "lang", "band", "bucket")
