@@ -166,6 +166,32 @@ def main() -> None:
         "inverted-list-equi-join",
     ]))
 
+    # corpus-pipeline ops (round 3): decontamination must broadcast the
+    # tiny eval side (the corpus is scanned once; only the per-doc distinct
+    # count shuffles), the vocabulary top-k must be TakeOrdered (partial
+    # per-partition top-k, never a global sort), and the mix sample must be
+    # a shuffle-free codegen scan->filter
+    from learnedspatial_spark.operators import corpus
+    p11 = plan_of(corpus.contamination_hits(docs_df))
+    if "BroadcastHashJoin" in p11 and "SortMergeJoin" not in p11:
+        p11 += "\n-- audit: broadcast-eval-join (eval grams broadcast; corpus side never shuffles for the join)\n"
+    sections.append(("contamination_hits (broadcast eval semi-join)", p11, [
+        "broadcast-eval-join",
+        "HashAggregate",
+    ]))
+    p12 = plan_of(corpus.vocab_stats_topk(docs_df))
+    if "TakeOrderedAndProject" in p12 and "Sort " not in p12:
+        p12 += "\n-- audit: partial-topk (TakeOrderedAndProject, no global sort)\n"
+    sections.append(("vocab_stats_topk (wordcount + partial top-k)", p12, [
+        "partial-topk",
+    ]))
+    p13 = plan_of(corpus.mix_sample(docs_df))
+    if "Exchange" not in p13 and "codegen id" in p13:
+        p13 += "\n-- audit: shuffle-free-sample (stateless per-row keep rule, all codegen)\n"
+    sections.append(("mix_sample (deterministic stratified sample)", p13, [
+        "shuffle-free-sample",
+    ]))
+
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
     ok_all = True
