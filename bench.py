@@ -78,6 +78,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     probe_before = host_probe_ns()
     bw_before, pt_before = host_bandwidth_gbs()
+    # bounded wait-for-quiet-host: the page-touch witness has two modes on
+    # this class of VM — transient oscillation (recovers in minutes) and a
+    # persistent sick mode (CLAUDE.md).  A few bounded re-probes rescue the
+    # run from the former; the latter is recorded in the before/after
+    # witnesses either way.  Never waits when already quiet.
+    waited_s = 0.0
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "240"))
+    while pt_before < 1.0 and waited_s < max_wait:
+        time.sleep(45)
+        waited_s += 45
+        bw_before, pt_before = host_bandwidth_gbs()
 
     from learnedspatial_spark.engine import SpatialEngine
     from learnedspatial_spark.operators import dedup, similarity
@@ -250,6 +261,9 @@ def main() -> None:
         "host_mem_contention_factor": round(max(
             5.0 / max(min(bw_before, bw_after), 1e-3),
             1.0 / max(min(pt_before, pt_after), 1e-3)), 2),
+        # seconds spent waiting for the page-touch witness to recover
+        # before starting (bounded; 0 on a quiet host)
+        "host_quiet_wait_s": waited_s,
     }))
     spark.stop()
 
