@@ -448,6 +448,18 @@ def _mix_sample(spark, sf_dir):
     return corpus.mix_sample(_docs(spark, sf_dir))
 
 
+def _repetition_stats(spark, sf_dir):
+    """Gopher-style per-doc repetition signals over word 2-grams (total /
+    top-gram / duplicated-gram counts; two map-side-combined aggs)."""
+    return corpus.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def _span_dedup(spark, sf_dir):
+    """Cross-document span dedup signals: 16-word non-overlapping chunk
+    md5s, corpus-wide occurrence window on the digest, per-doc dup counts."""
+    return corpus.span_dedup_stats(_docs(spark, sf_dir))
+
+
 def _dup_stats(spark, sf_dir):
     """P7 duplicate statistics (GetAllTheStatistics, src/main.cpp:257-294):
     total, distinct x, distinct y, distinct (x,y)."""
@@ -605,7 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``bbox`` / ``scan_overhead_fixed_grid`` (green in round 2; trivial
     single-aggregate entries — the least informative green slots) to make
     room for the three new corpus-pipeline ops ``contamination_hits`` /
-    ``vocab_topk`` / ``mix_sample``, which have no driver row yet."""
+    ``vocab_topk`` / ``mix_sample``, which have no driver row yet; and
+    displaces ``range_count_fixed_grid_salted`` / ``range_count_tiled_str``
+    (green in round 2; in-window variants of ``range_count_fixed_grid`` /
+    ``range_count_tiled``) for the new repetition/span-dedup corpus ops."""
     out: dict[str, Callable] = {}
     # --- entries that had no driver row yet (round-2 positions 51-56) ---
     out["ivf_ann_topk"] = _ivf_ann
@@ -628,10 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["range_materialize"] = _range_materialize
     out["point_lookup"] = _point_lookup
     out["distance_count"] = _distance_count
-    out["range_count_fixed_grid_salted"] = _range_count_salted
     out["range_count_tiled"] = _range_count_tiled
     out["knn_tiled"] = _knn_tiled
-    out["range_count_tiled_str"] = _range_count_tiled_str
     out["distance_materialize_tiled"] = _distance_materialize_tiled
     out["pip_pairs_tiled"] = _pip_pairs_tiled
     out["pip_count"] = _pip_count
@@ -653,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["contamination_hits"] = _contamination
     out["vocab_topk"] = _vocab_topk
     out["mix_sample"] = _mix_sample
+    out["repetition_stats"] = _repetition_stats  # new (round 3)
+    out["span_dedup_stats"] = _span_dedup        # new (round 3)
     out["cells_touched_fixed_grid"] = _cells_touched
     out["points_decimated"] = _points_decimated
     out["minhash_dedup_pairs"] = _minhash_pairs
@@ -674,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dup_stats"] = _dup_stats
     out["bbox"] = _bbox
     out["scan_overhead_fixed_grid"] = _scan_overhead
+    out["range_count_fixed_grid_salted"] = _range_count_salted
+    out["range_count_tiled_str"] = _range_count_tiled_str
     out["simhash_md5_table"] = _simhash_md5
     out["point_lookup_quadtree"] = _point_lookup_quadtree
     out["distance_materialize"] = _distance_materialize
@@ -1085,6 +1102,29 @@ def oracle_sql() -> dict[str, str]:
         f"cast({corpus.MIX_RATE_SQL} as bigint) AS rate "
         f"FROM (SELECT doc_id, lang, n_chars, md5(cast(doc_id as varchar)) AS h "
         f"FROM documents) q) w WHERE bucket < rate")
+    # shared word tokenization of the repetition/span twins (mirrors
+    # corpus._WORDS: trim -> lower -> \s+ split, edge-clamped slices)
+    words_cte = ("w AS (SELECT doc_id, "
+                 "string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)")
+    out["repetition_stats"] = (
+        f"WITH {words_cte}, "
+        f"gt AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g "
+        f"FROM w, unnest(range(1, greatest(len(ws) - 1, 1) + 1)) t(i)), "
+        f"c AS (SELECT doc_id, g, count(*) AS c FROM gt GROUP BY doc_id, g) "
+        f"SELECT doc_id, cast(sum(c) as bigint) AS n_grams, "
+        f"cast(max(c) as bigint) AS top_gram_cnt, "
+        f"cast(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) as bigint) AS dup_gram_cnt "
+        f"FROM c GROUP BY doc_id")
+    sw = corpus.SPAN_W
+    out["span_dedup_stats"] = (
+        f"WITH {words_cte}, "
+        f"ch AS (SELECT doc_id, md5(array_to_string("
+        f"list_slice(ws, k * {sw} + 1, k * {sw} + {sw}), ' ')) AS gh "
+        f"FROM w, unnest(range(0, greatest((len(ws) + {sw - 1}) // {sw}, 1))) t(k)), "
+        f"fl AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS cg FROM ch) "
+        f"SELECT doc_id, cast(count(*) as bigint) AS n_chunks, "
+        f"cast(sum(CASE WHEN cg > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks "
+        f"FROM fl GROUP BY doc_id")
     out["dup_stats"] = (
         f"WITH {POINTS_CTE} SELECT count(*) AS n, count(distinct x) AS n_x, "
         f"count(distinct y) AS n_y, count(distinct (x, y)) AS n_xy FROM points")

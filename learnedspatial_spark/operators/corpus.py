@@ -21,10 +21,17 @@ Python in the hot path) with exact DuckDB twins in ``entrylib``.
 - :func:`mix_sample` — stateless per-row filter on a deterministic md5
   bucket; embarrassingly parallel, no shuffle at all, reproducible across
   runs/cluster sizes (the property that makes a training mix auditable).
+- :func:`repetition_stats` — one scan -> positional generate -> two hash
+  aggregations, keyed (doc_id, gram) then doc_id; both map-side combined,
+  no join and no window over the corpus text.
+- :func:`span_dedup_stats` — one scan -> non-overlapping chunk hashes
+  (md5, 16 bytes — the shuffle carries digests, never the chunk text) ->
+  one chunk-hash-keyed count + one doc_id aggregation.  The chunk-hash
+  shuffle is the same linear shape every exact-substring dedup pays.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _hex_bigint_expr
@@ -121,3 +128,86 @@ def mix_sample(docs: DataFrame) -> DataFrame:
                  F.expr(mix_bucket_sql()).alias("bucket"),
                  F.expr(MIX_RATE_SQL).cast("bigint").alias("rate")))
     return q.where(F.col("bucket") < F.col("rate")).select("doc_id", "lang", "band", "bucket")
+
+
+# ------------------------------------------------- repetition / span dedup
+
+def _words():
+    """Lowercased, trimmed, whitespace-split word array — the shared word
+    tokenization for the repetition/span ops.  `\\s+` collapses runs, trim
+    removes the edge whitespace that would otherwise yield empty tokens;
+    both behave identically in Java regex and DuckDB RE2.  (A function,
+    not a module constant: building a Column needs an active session.)"""
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def _word_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) for every ``n``-word window of the tokenized text.
+    Positional explode + top-level ``slice``/``concat_ws`` exprs (no
+    higher-order lambdas, stays in whole-stage codegen); a doc shorter
+    than ``n`` words contributes its single truncated window (both
+    engines' slice clamps at the array end)."""
+    return (docs
+            .select("doc_id", _words().alias("ws"))
+            .select("doc_id",
+                    F.expr(f"explode(sequence(1, greatest(size(ws) - {n - 1}, 1))) AS i"),
+                    "ws")
+            .select("doc_id", F.expr(f"concat_ws(' ', slice(ws, i, {n}))").alias("g")))
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document repetition signals over word ``n``-grams — the Gopher
+    repetition-removal family (fraction of text in the most common n-gram,
+    fraction in duplicated n-grams), emitted as exact integer counts so
+    the quality rule (and the value-parity check) stays arithmetic-free:
+
+    (doc_id, n_grams, top_gram_cnt, dup_gram_cnt)
+
+    ``top_gram_cnt / n_grams`` and ``dup_gram_cnt / n_grams`` are the
+    Gopher fractions.  Two map-side-combined hash aggregations — keyed
+    (doc_id, gram) then doc_id; per-doc gram cardinality bounds the first
+    shuffle, so skew follows document length, not corpus size."""
+    per_gram = (_word_grams(docs, n)
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_grams"),
+                 F.max("c").cast("bigint").alias("top_gram_cnt"),
+                 F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+                  .cast("bigint").alias("dup_gram_cnt")))
+
+
+#: Non-overlapping span width (words) for cross-document span dedup.
+SPAN_W = 16
+
+
+def span_dedup_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Cross-document span-level dedup signals: chunk each document into
+    non-overlapping ``w``-word spans, md5 each span, and count how many of
+    a document's spans occur more than once ANYWHERE in the corpus (its
+    own repeats included) — the chunk-granular approximation of exact
+    substring deduplication (Lee et al. 2022's "Deduplicating Training
+    Data Makes Language Models Better" runs the suffix-array exact form;
+    the chunk-hash form is the standard distributed approximation).
+
+    Output (doc_id, n_chunks, n_dup_chunks); a downstream keep rule drops
+    or trims docs by ``n_dup_chunks / n_chunks``.
+
+    Shape: the corpus-wide occurrence count is a window over the 16-byte
+    span DIGEST (the shuffle never carries span text), then one doc_id
+    aggregation.  Linear in corpus size — the same cost class as exact
+    dedup's hash-groupBy."""
+    nc = f"greatest((size(ws) + {w - 1}) div {w}, 1)"
+    chunks = (docs
+              .select("doc_id", _words().alias("ws"))
+              .select("doc_id",
+                      F.expr(f"explode(sequence(0, {nc} - 1)) AS k"),
+                      "ws")
+              .select("doc_id",
+                      F.expr(f"md5(concat_ws(' ', slice(ws, k * {w} + 1, {w})))").alias("gh")))
+    cg = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    return (chunks.select("doc_id", (cg > 1).alias("dup"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                  .cast("bigint").alias("n_dup_chunks")))

@@ -89,3 +89,41 @@ def test_mix_sample_deterministic_across_runs(spark):
     a = sorted(map(tuple, corpus.mix_sample(docs).collect()))
     b = sorted(map(tuple, corpus.mix_sample(docs).collect()))
     assert a == b
+
+
+def _py_repetition(text, n=2):
+    ws = text.strip().lower().split()
+    grams = ([" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+             if len(ws) >= n else [" ".join(ws)])
+    c = Counter(grams)
+    return (len(grams), max(c.values()), sum(v for v in c.values() if v >= 2))
+
+
+def test_repetition_stats_match_python(spark):
+    rows = [
+        (1, "a b a b a b c", "en", 13),          # heavy 2-gram repetition
+        (2, "one two three four five", "en", 23),  # all distinct
+        (3, "solo", "en", 4),                     # shorter than n
+        (4, "x x x x", "en", 7),                  # single repeated gram
+    ]
+    out = {r["doc_id"]: (r["n_grams"], r["top_gram_cnt"], r["dup_gram_cnt"])
+           for r in corpus.repetition_stats(_docs_df(spark, rows), n=2).collect()}
+    assert out == {d: _py_repetition(t) for d, t, _, _ in rows}
+    # doc 1: grams (a b, b a, a b, b a, a b, b c) -> top 'a b'=3, dup 3+2
+    assert out[1] == (6, 3, 5)
+    assert out[2] == (4, 1, 0)
+    assert out[3] == (1, 1, 0)   # truncated single window
+
+
+def test_span_dedup_flags_cross_document_copies(spark):
+    span = " ".join(f"w{i}" for i in range(16))       # one full 16-word chunk
+    uniq = " ".join(f"u{i}" for i in range(16))
+    rows = [
+        (1, span + " " + uniq, "en", 0),   # chunk0 == doc 2's chunk0, chunk1 unique
+        (2, span, "en", 0),                # whole doc is the shared span
+        (3, "totally different words here", "en", 0),  # 1 short chunk, unique
+        (4, span + " " + span, "en", 0),   # self-repeat also counts as dup
+    ]
+    out = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+           for r in corpus.span_dedup_stats(_docs_df(spark, rows)).collect()}
+    assert out == {1: (2, 1), 2: (1, 1), 3: (1, 0), 4: (2, 2)}
