@@ -191,6 +191,30 @@ def main() -> None:
     sections.append(("mix_sample (deterministic stratified sample)", p13, [
         "shuffle-free-sample",
     ]))
+    # repetition signals: pure generate -> two hash aggregations; never a
+    # join, never a window — exactly the (doc_id, gram) and doc_id
+    # partial->final exchanges (formatted plans list each node twice)
+    p14 = plan_of(corpus.repetition_stats(docs_df))
+    if (re.search(r"\bJoin|CartesianProduct|\bWindow\b", p14) is None
+            and len(re.findall(r"\bExchange", p14)) <= 4):
+        p14 += "\n-- audit: two-agg-no-join (generate -> (doc_id,gram) agg -> doc_id agg)\n"
+    sections.append(("repetition_stats (Gopher repetition signals)", p14, [
+        "two-agg-no-join",
+        "HashAggregate",
+        "Generate",
+    ]))
+    # span dedup: the corpus-wide occurrence count is a window keyed by the
+    # 16-byte md5 DIGEST (shuffles digests, not span text: the partitioning
+    # key must be the gh column), plus the final doc_id aggregation; no join
+    p15 = plan_of(corpus.span_dedup_stats(docs_df))
+    if (re.search(r"\bJoin|CartesianProduct", p15) is None
+            and re.search(r"Arguments:.*\[gh", p15) is not None):
+        p15 += "\n-- audit: digest-keyed-window-no-join (occurrence count partitions on the md5 digest)\n"
+    sections.append(("span_dedup_stats (cross-doc span dedup)", p15, [
+        "digest-keyed-window-no-join",
+        "Window",
+        "HashAggregate",
+    ]))
 
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
