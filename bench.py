@@ -183,6 +183,10 @@ def main() -> None:
     timed("q_contamination_hits", lambda: corpus.contamination_hits(docs).count())
     timed("q_vocab_topk", lambda: corpus.vocab_stats_topk(docs).count())
     timed("q_mix_sample", lambda: corpus.mix_sample(docs).count())
+    # collect(), not count(): count() lets Catalyst prune the aggregate
+    # expressions (and span's occurrence window) out of the timed plan
+    timed("q_repetition_stats", lambda: corpus.repetition_stats(docs).collect())
+    timed("q_span_dedup", lambda: corpus.span_dedup_stats(docs).collect())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())
