@@ -1102,10 +1102,11 @@ def oracle_sql() -> dict[str, str]:
         f"cast({corpus.MIX_RATE_SQL} as bigint) AS rate "
         f"FROM (SELECT doc_id, lang, n_chars, md5(cast(doc_id as varchar)) AS h "
         f"FROM documents) q) w WHERE bucket < rate")
-    # shared word tokenization of the repetition/span twins (mirrors
-    # corpus._WORDS: trim -> lower -> \s+ split, edge-clamped slices)
-    words_cte = ("w AS (SELECT doc_id, "
-                 "string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)")
+    # shared word tokenization of the repetition/span twins (the DuckDB
+    # render of corpus._words(): NULL-coalesced, explicit-class stripped
+    # and split — see corpus.WS_CLS for why not \s)
+    words_cte = (f"w AS (SELECT doc_id, {corpus.words_duckdb_sql('text')} AS ws "
+                 f"FROM documents)")
     out["repetition_stats"] = (
         f"WITH {words_cte}, "
         f"gt AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g "

@@ -132,13 +132,36 @@ def mix_sample(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- repetition / span dedup
 
+#: Explicit whitespace class for the repetition/span tokenizer.  NOT `\s`:
+#: Java regex counts vertical tab (U+000B) in `\s`, RE2 (DuckDB) does not,
+#: so `\s` silently diverges between engine and oracle on such text.  An
+#: explicit class is identical by construction.
+WS_CLS = r"[ \t\n\r\f\x0B]"
+#: Strip pattern: leading/trailing whitespace runs (trim() only strips
+#: ASCII spaces, which would leave phantom empty edge tokens for \t/\n).
+_WS_STRIP = f"^{WS_CLS}+|{WS_CLS}+$"
+
+
 def _words():
-    """Lowercased, trimmed, whitespace-split word array — the shared word
-    tokenization for the repetition/span ops.  `\\s+` collapses runs, trim
-    removes the edge whitespace that would otherwise yield empty tokens;
-    both behave identically in Java regex and DuckDB RE2.  (A function,
-    not a module constant: building a Column needs an active session.)"""
-    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    """Lowercased, whitespace-split word array — the shared word
+    tokenization for the repetition/span ops.  NULL text coalesces to ''
+    (a NULL array would hash differently across engines), edge whitespace
+    of every class is stripped (no phantom empty tokens), and runs
+    collapse via the explicit ``WS_CLS`` class shared verbatim with the
+    DuckDB twin (:func:`words_duckdb_sql`).  (A function, not a module
+    constant: building a Column needs an active session.)"""
+    stripped = F.regexp_replace(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), _WS_STRIP, "")
+    return F.split(stripped, f"{WS_CLS}+")
+
+
+def words_duckdb_sql(col: str = "text") -> str:
+    """The DuckDB-side twin of :func:`_words` — same coalesce/lower/strip/
+    split pipeline over the same explicit class.  DuckDB's regexp_replace
+    replaces only the first match unless given the 'g' flag (Spark's
+    always replaces all)."""
+    return (f"string_split_regex(regexp_replace(lower(coalesce({col}, '')), "
+            f"'{_WS_STRIP}', '', 'g'), '{WS_CLS}+')")
 
 
 def _word_grams(docs: DataFrame, n: int) -> DataFrame:

@@ -127,3 +127,32 @@ def test_span_dedup_flags_cross_document_copies(spark):
     out = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
            for r in corpus.span_dedup_stats(_docs_df(spark, rows)).collect()}
     assert out == {1: (2, 1), 2: (1, 1), 3: (1, 0), 4: (2, 2)}
+
+
+def test_repetition_span_adversarial_cross_engine_parity(spark):
+    """NULL text, vertical tab (Java \\s vs RE2 \\s disagree on U+000B),
+    tab/newline edges, all-whitespace: the Spark ops and their DuckDB
+    oracle twins must agree row-for-row (the latent divergences a \\s-based
+    tokenizer would have)."""
+    import duckdb
+    import pandas as pd
+    from learnedspatial_spark import entrylib
+
+    rows = [
+        (1, None, "en", 0),                    # NULL text
+        (2, "", "en", 0),                      # empty text
+        (3, "   \t\n", "en", 3),               # all whitespace
+        (4, "x a\x0bb y x a\x0bb y", "en", 13),  # vertical tab inside words
+        (5, "\tx y\n", "en", 5),               # non-space edge whitespace
+        (6, "a b a b a b", "en", 11),          # plain repetition control
+    ]
+    sdf = _docs_df(spark, rows)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "n_chars"]))
+    for name, op in (("repetition_stats", corpus.repetition_stats),
+                     ("span_dedup_stats", corpus.span_dedup_stats)):
+        got = sorted(tuple(r) for r in op(sdf).collect())
+        want = sorted(tuple(r) for r in con.sql(entrylib.oracle_sql()[name]).fetchall())
+        assert got == want, (name, got, want)
+    con.close()
