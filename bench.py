@@ -84,7 +84,13 @@ def main() -> None:
     # run from the former; the latter is recorded in the before/after
     # witnesses either way.  Never waits when already quiet.
     waited_s = 0.0
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "240"))
+    # 480s cap: a 2026-08-17 run waited the full 240s, started while the
+    # witness was still at 0.18 GB/s, and measured every query AND the
+    # single-node DuckDB baselines ~1.5x slow; the host recovered mid-run
+    # (after-witness 4.3 GB/s), so a longer bounded wait would have
+    # rescued it.  The persistent sick mode still gives up and records
+    # itself in the witnesses.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
     while pt_before < 1.0 and waited_s < max_wait:
         time.sleep(45)
         waited_s += 45
