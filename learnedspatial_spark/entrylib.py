@@ -313,6 +313,16 @@ def _events_window_stream(spark, sf_dir):
     return events_window_stats_stream(spark, f"{sf_dir}/events.parquet")
 
 
+def _pip_count_stream(spark, sf_dir):
+    """The pip_count spatial join computed by Structured Streaming: the
+    lineitem file stream derives points with the batch arithmetic, a
+    mapInPandas pass runs the batch bbox+ray-cast kernels per Arrow batch,
+    and a complete-mode sum keys one counter per polygon — graded against
+    the same DuckDB oracle as the batch entry."""
+    from .streaming.ingest import pip_count_stream
+    return pip_count_stream(spark, f"{sf_dir}/lineitem.parquet", _polys())
+
+
 def _events_json_kv(spark, sf_dir):
     """JSON prop extraction over the events stream table (engine substrate:
     Spark's JSON functions; oracle uses DuckDB's)."""
@@ -620,7 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``vocab_topk`` / ``mix_sample``, which have no driver row yet; and
     displaces ``range_count_fixed_grid_salted`` / ``range_count_tiled_str``
     (green in round 2; in-window variants of ``range_count_fixed_grid`` /
-    ``range_count_tiled``) for the new repetition/span-dedup corpus ops."""
+    ``range_count_tiled``) for the new repetition/span-dedup corpus ops,
+    and ``points_decimated`` (green in round 2; trivial single-filter
+    entry) for the new streaming spatial join ``pip_count_stream``."""
     out: dict[str, Callable] = {}
     # --- entries that had no driver row yet (round-2 positions 51-56) ---
     out["ivf_ann_topk"] = _ivf_ann
@@ -668,8 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mix_sample"] = _mix_sample
     out["repetition_stats"] = _repetition_stats  # new (round 3)
     out["span_dedup_stats"] = _span_dedup        # new (round 3)
+    out["pip_count_stream"] = _pip_count_stream  # new (round 3)
     out["cells_touched_fixed_grid"] = _cells_touched
-    out["points_decimated"] = _points_decimated
     out["minhash_dedup_pairs"] = _minhash_pairs
     out["ngram_jaccard_pairs"] = _ngram_jaccard
     out["simhash_neardup_pairs"] = _simhash_neardup
@@ -691,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["scan_overhead_fixed_grid"] = _scan_overhead
     out["range_count_fixed_grid_salted"] = _range_count_salted
     out["range_count_tiled_str"] = _range_count_tiled_str
+    out["points_decimated"] = _points_decimated
     out["simhash_md5_table"] = _simhash_md5
     out["point_lookup_quadtree"] = _point_lookup_quadtree
     out["distance_materialize"] = _distance_materialize
@@ -1047,6 +1060,8 @@ def oracle_sql() -> dict[str, str]:
     out["distance_count"] = _distance_count_sql()
     out["distance_materialize"] = _distance_materialize_sql()
     out["pip_count"] = _pip_count_sql()
+    # streaming twin: complete-mode over the bounded source == batch join
+    out["pip_count_stream"] = _pip_count_sql()
     out["pip_pairs"] = _pip_pairs_sql()
     out["knn"] = _knn_sql()
     out["polygon_tiles"] = _polygon_tiles_sql()

