@@ -152,6 +152,13 @@ def main() -> None:
     timed("q_range_materialize", lambda: eng.range_materialize(rects).count())
     timed("q_distance_count", lambda: eng.distance_count(circles).collect())
     timed("q_pip_count", lambda: eng.pip(polys).collect())
+    from learnedspatial_spark.streaming.ingest import pip_count_stream
+    # warm once: the first streaming query pays one-time machinery init
+    # (~7s) that would otherwise be billed to the measured run
+    pip_count_stream(spark, f"{sf_dir}/lineitem.parquet",
+                     {g: polys[g] for g in list(polys)[:2]}).collect()
+    timed("q_pip_count_stream", lambda: pip_count_stream(
+        spark, f"{sf_dir}/lineitem.parquet", polys).collect())
     timed("q_knn", lambda: eng.knn(knnq).collect())
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
 
