@@ -195,16 +195,20 @@ def pip_count_stream(spark: SparkSession,
 
     polys = {int(g): (np.asarray(vx, dtype=float), np.asarray(vy, dtype=float))
              for g, (vx, vy) in polygons.items()}
+    # explicit broadcast: the polygon set serializes once per executor,
+    # not once per task closure (matters at thousands of tasks/executors)
+    bpolys = spark.sparkContext.broadcast(polys)
 
     pts = (read_table_stream(spark, lineitem_path, LINEITEM_SCHEMA)
            .select(F.expr(LAT_SQL).alias("x"), F.expr(LON_SQL).alias("y")))
 
     def probe(it):
+        pls = bpolys.value
         for pdf in it:
             px = pdf["x"].to_numpy()
             py = pdf["y"].to_numpy()
             gids, partials = [], []
-            for gid, (vx, vy) in polys.items():
+            for gid, (vx, vy) in pls.items():
                 cand = np.flatnonzero(probes.pip_candidates(px, py, vx, vy))
                 n = (int(probes.ray_cast_inside(px[cand], py[cand], vx, vy).sum())
                      if cand.size else 0)
