@@ -105,7 +105,14 @@ def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame,
     q = (streaming_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name)
+    # detach the (small, aggregate-sized) result from the memory sink and
+    # drop its temp view: repeated calls in a long session (bench loops,
+    # per-round grading) would otherwise accumulate never-dropped sink
+    # tables for the session lifetime
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
@@ -160,14 +167,6 @@ def events_window_stats_stream(spark: SparkSession, events_path: str) -> DataFra
                       "event_type", "cnt", "vmin", "vmax")
 
 
-LINEITEM_SCHEMA = ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
-                   "l_linenumber int, l_quantity double, l_extendedprice double, "
-                   "l_discount double, l_tax double, l_returnflag string, "
-                   "l_linestatus string, l_shipdate date, l_commitdate date, "
-                   "l_receiptdate date, l_shipinstruct string, l_shipmode string, "
-                   "l_comment string")
-
-
 def pip_count_stream(spark: SparkSession,
                      lineitem_path: str,
                      polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
@@ -199,7 +198,13 @@ def pip_count_stream(spark: SparkSession,
     # not once per task closure (matters at thousands of tasks/executors)
     bpolys = spark.sparkContext.broadcast(polys)
 
-    pts = (read_table_stream(spark, lineitem_path, LINEITEM_SCHEMA)
+    # schema from the table's own footer (driver metadata read): a
+    # hand-written constant drifts from the file — the first version
+    # declared l_shipdate `date` against a stored timestamp and five
+    # columns the parquet does not have, latent until a consumer selected
+    # one of them
+    schema = spark.read.parquet(lineitem_path).schema
+    pts = (read_table_stream(spark, lineitem_path, schema)
            .select(F.expr(LAT_SQL).alias("x"), F.expr(LON_SQL).alias("y")))
 
     def probe(it):
@@ -221,6 +226,9 @@ def pip_count_stream(spark: SparkSession,
     agg = (pts.mapInPandas(probe, schema="polygon_id bigint, partial bigint")
            .groupBy("polygon_id").agg(F.sum("partial").alias("cnt")))
     out = run_stream_to_table(spark, agg)
+    # the stream has fully terminated (availableNow) and `out` is already
+    # detached from it — release the executor-pinned polygon arrays
+    bpolys.unpersist()
     gdf = spark.createDataFrame([(int(g),) for g in polygons], "polygon_id bigint")
     return gdf.join(out, "polygon_id", "left").select(
         "polygon_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))

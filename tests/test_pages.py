@@ -278,7 +278,7 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_pip_count_stream_matches_batch_engine(spark):
+def test_pip_count_stream_matches_batch_engine(spark, sf_dir):
     """The streaming spatial join (file stream -> on-stream point derivation
     -> ray-cast partials -> complete-mode sum) must equal the batch
     engine's pip counts exactly, including zero-count polygons."""
@@ -286,12 +286,16 @@ def test_pip_count_stream_matches_batch_engine(spark):
     from learnedspatial_spark.sources import workloads as wl
     from learnedspatial_spark.streaming.ingest import pip_count_stream
 
-    sf_dir = "/root/testdata/sf0.001"
-    polys = wl.polygons()
+    polys = dict(wl.polygons())
+    # guaranteed-empty polygon: derived lattice x values are multiples of
+    # 1e-4 (minus 90), so a sliver strictly inside (89.00002, 89.00008)
+    # can contain no point — exercises the zero-fill LEFT-join path
+    # deterministically
+    polys[999] = ([89.00002, 89.00008, 89.00005, 89.00002], [0.0, 0.0, 0.3, 0.0])
     got = {r["polygon_id"]: r["cnt"]
            for r in pip_count_stream(spark, f"{sf_dir}/lineitem.parquet", polys).collect()}
     eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid")
     want = {r["polygon_id"]: r["cnt"] for r in eng.pip(polys).collect()}
     assert got == want
     assert set(got) == set(polys)          # every polygon present
-    assert any(v == 0 for v in got.values()) or all(v > 0 for v in want.values())
+    assert got[999] == 0                   # the zero-fill path was exercised
