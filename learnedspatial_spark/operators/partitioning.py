@@ -99,12 +99,19 @@ class FixedGridPartitioner(Partitioner):
         return (self.xmax - self.xmin) / self.n_cells
 
     def assign_np(self, x, y=None):
-        c = np.floor((np.asarray(x, dtype=np.float64) - self.xmin) / self.step).astype(np.int64)
+        x = np.asarray(x, dtype=np.float64)
+        if self.step == 0:  # degenerate domain (all x equal): one live cell
+            return np.zeros(x.shape[0], dtype=np.int64)
+        c = np.floor((x - self.xmin) / self.step).astype(np.int64)
         return np.clip(c, 0, self.n_cells - 1)
 
     def assign_sql(self, x_expr: str) -> str:
         """The identical formula as SQL (used both as the Spark expression
-        and the DuckDB oracle so tile assignment compares bit-exactly)."""
+        and the DuckDB oracle so tile assignment compares bit-exactly).
+        The step==0 degenerate case is made explicit: 0/0 would be NaN,
+        whose bigint cast is engine-defined (DuckDB errors, NumPy wraps)."""
+        if self.step == 0:
+            return "cast(0 as bigint)"
         return (
             f"least(greatest(cast(floor(({x_expr} - {flit(self.xmin)}) / {flit(self.step)}) as bigint), 0), "
             f"{self.n_cells - 1})"

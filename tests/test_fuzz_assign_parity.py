@@ -1,0 +1,123 @@
+"""Property fuzz for the SQL<->NumPy assignment parity contract.
+
+Every closed-form scheme's ``assign_sql`` string is used verbatim as BOTH
+the Spark routing expression and the DuckDB oracle's, so the whole
+correctness gate rests on ``assign_sql == assign_np`` for all coordinates
+— including points exactly ON separators/splits/cell edges.  This fuzz
+evaluates the SQL in DuckDB (no Spark in the loop: DuckDB is the engine
+the oracle actually runs in) against the NumPy kernel over random draws
+plus boundary-adversarial probes harvested from each built partitioner.
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from learnedspatial_spark.operators import partitioning as P
+
+lat = st.floats(min_value=-90.0, max_value=89.9999, allow_nan=False, width=64)
+lon = st.floats(min_value=-180.0, max_value=179.9999, allow_nan=False, width=64)
+pts = st.lists(st.tuples(lat, lon), min_size=8, max_size=120)
+sizes = st.integers(min_value=1, max_value=20)
+
+SETTINGS = dict(max_examples=20, deadline=None)
+
+
+def duck_eval(expr: str, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame(
+        {"i": np.arange(x.shape[0]), "x": x, "y": y}))
+    got = con.sql(f"SELECT cast(({expr}) as bigint) AS c FROM pts ORDER BY i"
+                  ).fetchnumpy()["c"]
+    con.close()
+    return np.asarray(got, dtype=np.int64)
+
+
+def with_probes(x, y, bx, by):
+    """Append boundary probes: each boundary x paired with a base y (and
+    vice versa), plus one-ulp perturbations on either side."""
+    bx = np.asarray(sorted(set(float(v) for v in bx)), dtype=np.float64)
+    by = np.asarray(sorted(set(float(v) for v in by)), dtype=np.float64)
+    px = np.concatenate([bx, np.nextafter(bx, -np.inf), np.nextafter(bx, np.inf)]) if bx.size else bx
+    py = np.concatenate([by, np.nextafter(by, -np.inf), np.nextafter(by, np.inf)]) if by.size else by
+    xs = [x]
+    ys = [y]
+    if px.size:
+        xs.append(px)
+        ys.append(np.resize(y, px.shape[0]))
+    if py.size:
+        xs.append(np.resize(x, py.shape[0]))
+        ys.append(py)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def check(part, x, y, one_dim=False):
+    expr = part.assign_sql("x") if one_dim else part.assign_sql("x", "y")
+    want = part.assign_np(x, y)
+    got = duck_eval(expr, x, y)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(pts, sizes)
+@settings(**SETTINGS)
+def test_fixed_grid_sql_np_parity(tuples, psize):
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    p = P.FixedGridPartitioner.build(float(x.min()), float(x.max()),
+                                     x.shape[0], partition_size=psize)
+    edges = [p.xmin + k * p.step for k in range(p.n_cells + 1)][:64]
+    check(p, *with_probes(x, y, edges, []), one_dim=True)
+
+
+@given(pts, sizes)
+@settings(**SETTINGS)
+def test_adaptive_grid_sql_np_parity(tuples, psize):
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    p = P.AdaptiveGridPartitioner.build_from_sorted_x(np.sort(x),
+                                                      partition_size=psize)
+    check(p, *with_probes(x, y, p.separators, []), one_dim=True)
+
+
+@given(pts, sizes)
+@settings(**SETTINGS)
+def test_kd_tree_sql_np_parity(tuples, psize):
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    p = P.KdTreePartitioner.build_from_points(x, y, partition_size=psize)
+    splits = [float(s) for s in np.asarray(p.splits).ravel()[:64]]
+    check(p, *with_probes(x, y, splits, splits))
+
+
+@given(pts, sizes)
+@settings(**SETTINGS)
+def test_quadtree_sql_np_parity(tuples, psize):
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    p = P.QuadtreePartitioner.build_from_points(x, y, partition_size=psize)
+    mx = [n["mid"][0] for n in p.nodes if n.get("children")][:48]
+    my = [n["mid"][1] for n in p.nodes if n.get("children")][:48]
+    check(p, *with_probes(x, y, mx, my))
+
+
+@given(pts)
+@settings(**SETTINGS)
+def test_morton_sql_np_parity(tuples):
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    p = P.MortonPartitioner(level=6)
+    n = 1 << p.level
+    ex = [-90.0 + k * (180.0 / n) for k in range(0, n + 1, 7)]
+    ey = [-180.0 + k * (360.0 / n) for k in range(0, n + 1, 7)]
+    check(p, *with_probes(x, y, ex, ey))
+
+
+def test_fixed_grid_degenerate_domain_explicit():
+    """All-equal x (step == 0): both sides must answer cell 0 without any
+    NaN arithmetic (0/0's bigint cast is engine-defined)."""
+    p = P.FixedGridPartitioner(xmin=5.0, xmax=5.0, n_cells=3)
+    x = np.asarray([5.0, 5.0, 5.0])
+    y = np.zeros(3)
+    np.testing.assert_array_equal(p.assign_np(x), [0, 0, 0])
+    np.testing.assert_array_equal(duck_eval(p.assign_sql("x"), x, y), [0, 0, 0])
