@@ -121,3 +121,66 @@ def test_fixed_grid_degenerate_domain_explicit():
     y = np.zeros(3)
     np.testing.assert_array_equal(p.assign_np(x), [0, 0, 0])
     np.testing.assert_array_equal(duck_eval(p.assign_sql("x"), x, y), [0, 0, 0])
+
+
+# ------------------------------------------------ routing soundness fuzz ---
+
+def _boundaries(part):
+    """Harvest every separator-like value from a built partitioner."""
+    if isinstance(part, P.FixedGridPartitioner):
+        return ([part.xmin + k * part.step for k in range(part.n_cells + 1)][:64], [])
+    if isinstance(part, P.AdaptiveGridPartitioner):
+        return (list(part.separators), [])
+    if isinstance(part, P.KdTreePartitioner):
+        s = [float(v) for v in np.asarray(part.splits).ravel()[:64]]
+        return (s, s)
+    if isinstance(part, P.QuadtreePartitioner):
+        return ([n["mid"][0] for n in part.nodes if n.get("children")][:48],
+                [n["mid"][1] for n in part.nodes if n.get("children")][:48])
+    n = 1 << part.level
+    return ([-90.0 + k * (180.0 / n) for k in range(0, n + 1, 5)],
+            [-180.0 + k * (360.0 / n) for k in range(0, n + 1, 5)])
+
+
+def _snap(v, pool, pick):
+    """Replace v with an exact boundary (or its one-ulp neighbor) when the
+    draw says so — rect edges exactly ON separators are the off-by-one
+    hot spot of cells_for_rect."""
+    if not pool or pick < 0:
+        return v
+    b = pool[pick % len(pool)]
+    return [b, np.nextafter(b, -np.inf), np.nextafter(b, np.inf)][pick % 3]
+
+
+SCHEME_BUILDERS = {
+    "fixed_grid": lambda x, y, ps: P.FixedGridPartitioner.build(
+        float(x.min()), float(x.max()), x.shape[0], ps),
+    "adaptive_grid": lambda x, y, ps: P.AdaptiveGridPartitioner.build_from_sorted_x(
+        np.sort(x), ps),
+    "kd_tree": lambda x, y, ps: P.KdTreePartitioner.build_from_points(x, y, ps),
+    "quadtree": lambda x, y, ps: P.QuadtreePartitioner.build_from_points(x, y, ps),
+    "morton": lambda x, y, ps: P.MortonPartitioner(level=5),
+}
+
+snap_picks = st.tuples(st.integers(-1, 500), st.integers(-1, 500),
+                       st.integers(-1, 500), st.integers(-1, 500))
+
+
+@given(pts, sizes, st.tuples(lat, lat, lon, lon), snap_picks,
+       st.sampled_from(sorted(SCHEME_BUILDERS)))
+@settings(**SETTINGS)
+def test_cells_for_rect_soundness_fuzz(tuples, psize, rect, picks, scheme):
+    """No pruning loss, even for rects whose edges sit exactly on (or one
+    ulp off) separators/splits/cell edges: every point inside the rect is
+    assigned to a candidate cell."""
+    x = np.asarray([t[0] for t in tuples])
+    y = np.asarray([t[1] for t in tuples])
+    part = SCHEME_BUILDERS[scheme](x, y, psize)
+    bx, by = _boundaries(part)
+    fx, tx = sorted((_snap(rect[0], bx, picks[0]), _snap(rect[1], bx, picks[1])))
+    fy, ty = sorted((_snap(rect[2], by, picks[2]), _snap(rect[3], by, picks[3])))
+    cells = part.assign_np(x, y)
+    cand = set(int(c) for c in part.cells_for_rect(fx, fy, tx, ty))
+    inside = (x >= fx) & (x <= tx) & (y >= fy) & (y <= ty)
+    missing = set(np.unique(cells[inside]).tolist()) - cand
+    assert not missing, (scheme, fx, fy, tx, ty, missing)
