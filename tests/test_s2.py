@@ -1,0 +1,94 @@
+"""Spherical-property tests for the S2-style cell encoder
+(operators/s2.py): face frames, pole/antimeridian sanity, hierarchy, and
+DataFrame-path agreement with the kernel."""
+import numpy as np
+import pytest
+
+from learnedspatial_spark.operators import s2
+
+
+def _grid(n=120):
+    lat = np.linspace(-89.9, 89.9, n)
+    lon = np.linspace(-179.9, 179.9, n)
+    glat, glon = np.meshgrid(lat, lon)
+    return glat.ravel(), glon.ravel()
+
+
+def test_face_uv_in_range_and_all_faces_hit():
+    lat, lon = _grid()
+    x, y, z = s2.latlon_to_xyz(lat, lon)
+    np.testing.assert_allclose(x * x + y * y + z * z, 1.0, atol=1e-12)
+    face, u, v = s2.face_uv(x, y, z)
+    assert set(np.unique(face)) == {0, 1, 2, 3, 4, 5}
+    assert np.all(np.abs(u) <= 1.0 + 1e-12)
+    assert np.all(np.abs(v) <= 1.0 + 1e-12)
+
+
+def test_poles_and_antimeridian():
+    # poles project onto the +z / -z faces regardless of longitude
+    lats = np.asarray([89.999] * 5 + [-89.999] * 5)
+    lons = np.asarray([-180.0, -90.0, 0.0, 90.0, 179.9] * 2)
+    cells = s2.s2_cell_id(lats, lons, level=8)
+    faces = cells >> np.int64(16)
+    assert set(faces[:5].tolist()) == {2}
+    assert set(faces[5:].tolist()) == {5}
+    # antimeridian: lon -180 and +180 are the same meridian -> same cell
+    a = s2.s2_cell_id(np.asarray([10.0, -35.0]), np.asarray([-180.0, -180.0]), level=10)
+    b = s2.s2_cell_id(np.asarray([10.0, -35.0]), np.asarray([180.0, 180.0]), level=10)
+    np.testing.assert_array_equal(a, b)
+    # a raw lat/lon grid splits these into far-apart cells; the sphere
+    # does not — neighbors straddling the antimeridian share a face
+    fa = s2.s2_cell_id(np.asarray([0.0]), np.asarray([179.99]), level=6) >> np.int64(12)
+    fb = s2.s2_cell_id(np.asarray([0.0]), np.asarray([-179.99]), level=6) >> np.int64(12)
+    assert fa == fb == 3  # the -x face
+
+
+def test_hierarchy_parent_matches_coarser_level():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    for lvl, steps in ((12, 1), (12, 3), (8, 2)):
+        fine = s2.s2_cell_id(lat, lon, level=lvl)
+        coarse = s2.s2_cell_id(lat, lon, level=lvl - steps)
+        np.testing.assert_array_equal(s2.s2_parent(fine, lvl, steps), coarse)
+
+
+def test_area_skew_bounded_vs_latlon_grid():
+    """The cube-face cells keep bounded occupancy skew for a uniform-ON-
+    THE-SPHERE sample, where a lat/lon grid's polar rows degenerate."""
+    rng = np.random.default_rng(11)
+    n = 200_000
+    z = rng.uniform(-1, 1, n)              # uniform on the sphere
+    lon = rng.uniform(-180, 180, n)
+    lat = np.degrees(np.arcsin(z))
+    cells = s2.s2_cell_id(lat, lon, level=4)
+    counts = np.bincount(cells, minlength=6 * 4 ** 4)
+    live = counts[counts > 0]
+    assert live.shape[0] == 6 * 4 ** 4     # every cell of the sphere is hit
+    # linear-uv gnomonic solid-angle density is 1/(1+u^2+v^2)^(3/2): the
+    # corner-to-center cell-area ratio is 3^1.5 ~ 5.2 (the documented
+    # simplification vs real S2's quadratic transform); with Poisson
+    # sampling noise at ~130 points/cell the count ratio stays under 9 —
+    # vs a lat/lon grid whose polar-row cells degenerate without bound
+    assert live.max() / live.min() < 9.0
+
+
+def test_invalid_levels_raise():
+    with pytest.raises(ValueError):
+        s2.s2_cell_id(np.zeros(1), np.zeros(1), level=0)
+    with pytest.raises(ValueError):
+        s2.s2_cell_id(np.zeros(1), np.zeros(1), level=30)
+    with pytest.raises(ValueError):
+        s2.s2_parent(np.zeros(1, dtype=np.int64), 4, steps=5)
+
+
+def test_assign_s2_dataframe_matches_kernel(spark):
+    from learnedspatial_spark.sources.points import points_df
+    sf = "/root/testdata/sf0.001"
+    df = s2.assign_s2(points_df(spark, sf), level=10)
+    rows = df.select("pid", "x", "y", "cell_id").collect()
+    lat = np.asarray([r["x"] for r in rows])
+    lon = np.asarray([r["y"] for r in rows])
+    want = s2.s2_cell_id(lat, lon, level=10)
+    got = np.asarray([r["cell_id"] for r in rows])
+    np.testing.assert_array_equal(got, want)
