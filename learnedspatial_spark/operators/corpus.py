@@ -149,7 +149,12 @@ def _words():
     of every class is stripped (no phantom empty tokens), and runs
     collapse via the explicit ``WS_CLS`` class shared verbatim with the
     DuckDB twin (:func:`words_duckdb_sql`).  (A function, not a module
-    constant: building a Column needs an active session.)"""
+    constant: building a Column needs an active session.)
+
+    ``lower()`` here is engine-native and parity-safe for ASCII (this
+    corpus); it DIVERGES across engines on some Unicode (Java maps 'İ'
+    to 'i'+combining-dot and applies the Greek final-sigma rule; DuckDB
+    does neither) — a non-ASCII corpus needs an explicit shared folding."""
     stripped = F.regexp_replace(
         F.lower(F.coalesce(F.col("text"), F.lit(""))), _WS_STRIP, "")
     return F.split(stripped, f"{WS_CLS}+")
