@@ -31,7 +31,7 @@ Python in the hot path) with exact DuckDB twins in ``entrylib``.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _hex_bigint_expr
@@ -221,10 +221,15 @@ def span_dedup_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     Output (doc_id, n_chunks, n_dup_chunks); a downstream keep rule drops
     or trims docs by ``n_dup_chunks / n_chunks``.
 
-    Shape: the corpus-wide occurrence count is a window over the 16-byte
-    span DIGEST (the shuffle never carries span text), then one doc_id
-    aggregation.  Linear in corpus size — the same cost class as exact
-    dedup's hash-groupBy."""
+    Shape: occurrence counts via ``groupBy(gh)`` (the 16-byte DIGEST —
+    the shuffle never carries span text) joined back to the (doc_id, gh)
+    pairs, then one doc_id aggregation.  Deliberately NOT a window over
+    gh: a corpus-frequent span (boilerplate appearing in 10^9 documents)
+    would form one UNSPLITTABLE window partition; in this form the hot
+    key map-side-combines to one row before the count shuffle, and the
+    join-back is an equi-join AQE can skew-split.  Costs one extra scan
+    of the chunk subtree (both join sides derive from it) — the right
+    trade at scale."""
     nc = f"greatest((size(ws) + {w - 1}) div {w}, 1)"
     chunks = (docs
               .select("doc_id", _words().alias("ws"))
@@ -233,9 +238,9 @@ def span_dedup_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
                       "ws")
               .select("doc_id",
                       F.expr(f"md5(concat_ws(' ', slice(ws, k * {w} + 1, {w})))").alias("gh")))
-    cg = F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    return (chunks.select("doc_id", (cg > 1).alias("dup"))
+    counts = chunks.groupBy("gh").agg(F.count(F.lit(1)).alias("cg"))
+    return (chunks.join(counts, "gh")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-                 F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                 F.sum(F.when(F.col("cg") > 1, 1).otherwise(0))
                   .cast("bigint").alias("n_dup_chunks")))

@@ -203,16 +203,18 @@ def main() -> None:
         "HashAggregate",
         "Generate",
     ]))
-    # span dedup: the corpus-wide occurrence count is a window keyed by the
-    # 16-byte md5 DIGEST (shuffles digests, not span text: the partitioning
-    # key must be the gh column), plus the final doc_id aggregation; no join
+    # span dedup: occurrence counts via groupBy(gh) + equi-join back on the
+    # md5 DIGEST (shuffles digests, not span text), never a window — a
+    # corpus-frequent span would form an unsplittable window partition,
+    # while the hot key here map-side-combines and the join is AQE
+    # skew-splittable; no cartesian anywhere
     p15 = plan_of(corpus.span_dedup_stats(docs_df))
-    if (re.search(r"\bJoin|CartesianProduct", p15) is None
-            and re.search(r"Arguments:.*\[gh", p15) is not None):
-        p15 += "\n-- audit: digest-keyed-window-no-join (occurrence count partitions on the md5 digest)\n"
+    if (re.search(r"BroadcastNestedLoopJoin|CartesianProduct|\bWindow\b", p15) is None
+            and re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", p15) is not None
+            and re.search(r"Left keys \[1\]: \[gh", p15) is not None):
+        p15 += "\n-- audit: digest-equi-join-no-window (skew-splittable counts join on the md5 digest)\n"
     sections.append(("span_dedup_stats (cross-doc span dedup)", p15, [
-        "digest-keyed-window-no-join",
-        "Window",
+        "digest-equi-join-no-window",
         "HashAggregate",
     ]))
 
