@@ -978,6 +978,18 @@ def _duck_bucket_expr(col: str, planes: list[list[float]]) -> str:
     return f"cast({terms} as bigint)"
 
 
+
+def _duck_cos(e1: str, e2: str) -> str:
+    """Guarded cosine, the DuckDB render of similarity._cosine_col: the
+    SAME fold/sqrt/divide arithmetic (bit-identical ranks) with the same
+    -2 sentinel for zero-norm vectors (NaN would sort GREATER than every
+    cosine in both engines and the gate could not see it)."""
+    ip = "list_inner_product"
+    return (f"(CASE WHEN {ip}({e1}, {e1}) > 0 AND {ip}({e2}, {e2}) > 0 "
+            f"THEN {ip}({e1}, {e2}) / (sqrt({ip}({e1}, {e1})) * sqrt({ip}({e2}, {e2}))) "
+            f"ELSE -2 END)")
+
+
 def _lsh_ann_sql() -> str:
     planes = similarity._hyperplanes(64, 8, 8128).tolist()
     return (
@@ -987,7 +999,7 @@ def _lsh_ann_sql() -> str:
         f"  FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
         f"qb AS (SELECT query_id, qv, {_duck_bucket_expr('qv', planes)} AS bucket FROM q), "
         "scored AS (SELECT qb.query_id, ebb.vec_id, "
-        "  list_cosine_similarity(ebb.e, qb.qv) AS cos FROM ebb JOIN qb USING (bucket)), "
+        f"  {_duck_cos('ebb.e', 'qb.qv')} AS cos FROM ebb JOIN qb USING (bucket)), "
         "ranked AS (SELECT query_id, vec_id, "
         "  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM scored) "
         f"SELECT query_id, cast(rnk AS bigint) AS rnk, vec_id FROM ranked WHERE rnk <= {_ANN_K}")
@@ -1000,7 +1012,7 @@ def _emb_neardup_lsh_sql() -> str:
         f"ebb AS (SELECT vec_id, e, {_duck_bucket_expr('e', planes)} AS bucket FROM eb) "
         "SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b "
         "FROM ebb x JOIN ebb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
-        f"WHERE list_cosine_similarity(x.e, y.e) >= {flit(_NEARDUP_T)}")
+        f"WHERE {_duck_cos('x.e', 'y.e')} >= {flit(_NEARDUP_T)}")
 
 
 def _ivf_ann_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
@@ -1021,7 +1033,7 @@ def _ivf_ann_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
         "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c) AS r FROM qj) "
         f"  WHERE r <= {n_probe}), "
         "scored AS (SELECT ql.query_id, el.vec_id, "
-        "  list_cosine_similarity(el.e, ql.qv) AS cos FROM el JOIN ql USING (list_id)), "
+        f"  {_duck_cos('el.e', 'ql.qv')} AS cos FROM el JOIN ql USING (list_id)), "
         "ranked AS (SELECT query_id, vec_id, "
         "  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM scored) "
         f"SELECT query_id, cast(rnk AS bigint) AS rnk, vec_id FROM ranked WHERE rnk <= {_ANN_K}")
@@ -1032,7 +1044,7 @@ def _ann_sql() -> str:
         f"WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv "
         f"  FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
         f"scored AS (SELECT q.query_id, e.vec_id, "
-        f"  list_cosine_similarity(cast(e.embedding AS double[]), q.qv) AS cos "
+        f"  {_duck_cos('cast(e.embedding AS double[])', 'q.qv')} AS cos "
         f"  FROM embeddings e CROSS JOIN q), "
         f"ranked AS (SELECT query_id, vec_id, "
         f"  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM scored) "
@@ -1091,9 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH a AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings) "
         f"SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b "
         f"FROM a x JOIN a y ON x.vec_id < y.vec_id "
-        f"WHERE list_inner_product(x.e, y.e) / "
-        f"(sqrt(list_inner_product(x.e, x.e)) * sqrt(list_inner_product(y.e, y.e))) "
-        f">= {flit(_NEARDUP_T)}")
+        f"WHERE {_duck_cos('x.e', 'y.e')} >= {flit(_NEARDUP_T)}")
     g, mh = corpus.CONTAM_GRAM, corpus.CONTAM_MIN_HITS
     em, er = corpus.EVAL_MOD, corpus.EVAL_REM
     gram_tbl = (
@@ -1255,5 +1265,6 @@ def oracle_sql() -> dict[str, str]:
     # every queries() entry now carries a DuckDB twin: the md5-hash pattern
     # (md5 + integer arithmetic both engines evaluate identically) covers
     # the sketches, and the JVM sequential folds match DuckDB's
-    # list_inner_product / list_cosine_similarity bit-for-bit.
+    # list_inner_product bit-for-bit (all cosine twins go through
+    # _duck_cos, the guarded mirror of similarity._cosine_col).
     return out

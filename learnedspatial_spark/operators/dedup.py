@@ -62,21 +62,29 @@ def minhash_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16, ngr
     in driver memory."""
     bands_df = docs.select("doc_id", "text").mapInPandas(
         _minhash_map(num_perm, bands, ngram, shingler), schema="doc_id bigint, band int, bucket bigint")
+    return bucket_pairs(bands_df, ["band", "bucket"])
+
+
+def bucket_pairs(bands_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from same-bucket membership
+    — the shared tail of every banded LSH path (splitmix minhash, md5
+    minhash, simhash): collect each bucket's id list and emit unordered
+    pairs with one JVM higher-order expression (i is 0-based, slice is
+    1-based, so i+2 = 'strictly after a').  Duplicate doc_ids in one
+    bucket would yield degenerate a==a pairs (the old self-join's strict
+    doc_a < doc_b excluded them) — filtered.  ``bands_df`` must carry
+    ``doc_id`` plus ``key_cols``."""
     pairs_in_bucket = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), b -> "
         "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
-    return (
-        bands_df.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(pairs_in_bucket).alias("p"))
-        # duplicate doc_ids in one bucket would yield degenerate a==a pairs
-        # (the old self-join's strict doc_a < doc_b excluded them)
-        .where(F.col("p.doc_a") != F.col("p.doc_b"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return (bands_df.groupBy(*key_cols)
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode(pairs_in_bucket).alias("p"))
+            .where(F.col("p.doc_a") != F.col("p.doc_b"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int = 64,
@@ -142,11 +150,16 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int =
 
 
 def simhash_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash; near-dups = small Hamming
-    distance.  Bucketing by the top-16 bits gives the scale path."""
+    """(doc_id, simhash) — the FULL 64-bit SimHash, stored as the
+    two's-complement int64 reinterpretation (bit-preserving: XOR/popcount
+    Hamming distance works unchanged on the signed value; an earlier
+    version stored ``>> 1`` to fit int64, silently collapsing bit-0-only
+    neighbors to Hamming 0).  Near-dups = small Hamming distance;
+    bucketing by 16-bit bands gives the scale path."""
     def fn(it):
         for pdf in it:
-            vals = np.array([np.int64(sk.simhash(t, ngram) >> np.uint64(1)) for t in pdf["text"].to_numpy()])
+            vals = np.array([sk.simhash(t, ngram) for t in pdf["text"].to_numpy()],
+                            dtype=np.uint64).astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": vals})
     return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
 
@@ -263,12 +276,6 @@ def simhash_md5_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
         F.expr(f"cast({hi} as bigint)").alias("sim_hi"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, ngram: int = 4) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold via LSH candidates with
-    aggressive banding (recall-oriented: 32 bands of 2 rows)."""
-    return minhash_dedup_pairs(docs, threshold=threshold, num_perm=64, bands=32, ngram=ngram)
-
-
 # -------------------------------------------- md5 MinHash (oracle-checkable) ---
 #
 # Same shingle->signature->band->bucket pipeline as the splitmix variant
@@ -347,17 +354,7 @@ def minhash_md5_pairs(docs: DataFrame, threshold: float = 0.5, num_perm: int = 6
                            for r in range(rows_per_band)])
         for bnd in range(bands)]
     bands_df = sigs.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
-    pairs_in_bucket = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), b -> "
-        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
-    cand = (bands_df.groupBy("band", "bkey")
-            .agg(F.collect_list("doc_id").alias("ids"))
-            .where(F.size("ids") > 1)
-            .select(F.explode(pairs_in_bucket).alias("p"))
-            .where(F.col("p.doc_a") != F.col("p.doc_b"))
-            .select("p.doc_a", "p.doc_b")
-            .distinct())
+    cand = bucket_pairs(bands_df, ["band", "bkey"])
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     A = sh.select(F.col("doc_id").alias("doc_a"), F.col("hm").alias("hma"))
     B = sh.select(F.col("doc_id").alias("doc_b"), F.col("hm").alias("hma"))
@@ -424,17 +421,7 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, ngram: int = 3)
     bands_df = reps.select(F.col("rep").alias("doc_id"),
                            F.posexplode(F.array(*[F.expr(v) for v in band_vals]))
                            .alias("band", "bkey"))
-    pairs_in_bucket = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), b -> "
-        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))")
-    cand = (bands_df.groupBy("band", "bkey")
-            .agg(F.collect_list("doc_id").alias("ids"))
-            .where(F.size("ids") > 1)
-            .select(F.explode(pairs_in_bucket).alias("p"))
-            .where(F.col("p.doc_a") != F.col("p.doc_b"))
-            .select("p.doc_a", "p.doc_b")
-            .distinct())
+    cand = bucket_pairs(bands_df, ["band", "bkey"])
     A = reps.select(F.col("rep").alias("doc_a"), F.col("sim_lo").alias("lo_a"),
                     F.col("sim_hi").alias("hi_a"))
     B = reps.select(F.col("rep").alias("doc_b"), F.col("sim_lo").alias("lo_b"),

@@ -19,13 +19,22 @@ from pyspark.sql.window import Window
 
 
 def _cosine_col(a: str, b: str) -> F.Column:
+    """Guarded cosine: a zero-norm vector would make 0.0/0.0 = NaN, and
+    NaN sorts GREATER than every number in both Spark and DuckDB — the
+    zero vector would pass every >= threshold filter and take rank 1 in
+    every top-k, and the oracle gate could not catch it (same NaN order
+    both sides).  Undefined direction ranks last instead: sentinel -2 <
+    every real cosine.  The DuckDB twins mirror this exact arithmetic
+    (entrylib._duck_cos)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
                      F.lit(0.0), lambda acc, v: acc + v)
     nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
                      F.lit(0.0), lambda acc, v: acc + v)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return (F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)),
+                   dot / (F.sqrt(na) * F.sqrt(nb)))
+            .otherwise(F.lit(-2.0)))
 
 
 def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
@@ -85,15 +94,12 @@ def lsh_bucket_expr(col: str, planes: list[list[float]]) -> str:
     """Random-hyperplane bucket id: bit j set iff dot(v, plane_j) > 0.
     Pure Column expression over literal planes — identical in DuckDB with
     list_inner_product."""
+    from ..sqlcompat import flit
+    zero = flit(0.0)
     terms = " + ".join(
-        f"(case when ({dot_literal_expr(col, p)}) > {flit_zero()} then {1 << j} else 0 end)"
+        f"(case when ({dot_literal_expr(col, p)}) > {zero} then {1 << j} else 0 end)"
         for j, p in enumerate(planes))
     return f"cast({terms} as bigint)"
-
-
-def flit_zero() -> str:
-    from ..sqlcompat import flit
-    return flit(0.0)
 
 
 def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 10,

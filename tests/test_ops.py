@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from learnedspatial_spark.functions import sketches as sk
 from learnedspatial_spark.ops.checkpoint import CheckpointManifest, run_resumable_cells
@@ -392,3 +393,24 @@ def test_bpe_and_simhash_fuzz_parity(spark):
         df.selectExpr("i AS doc_id", "t AS text"), ngram=3).collect()}
     for i, t in enumerate(texts):
         assert sim[i] == _py_simhash(t), (i, t)
+
+
+def test_zero_norm_embedding_never_matches_or_ranks(spark):
+    """A zero embedding has no direction: cosine would be 0/0 = NaN, and
+    NaN sorts GREATER than every number in both Spark and DuckDB — without
+    the guard the zero vector tops every top-k and passes every threshold,
+    invisibly to the oracle gate (same NaN order both sides).  Guarded, it
+    must never pair and must rank LAST."""
+    from learnedspatial_spark.operators import similarity
+    import pandas as pd
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 0.0]],
+    }))
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.5).collect()
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs}
+    assert got == {(1, 2)}          # the zero vector pairs with nothing
+    q = emb.where("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    top = similarity.brute_cosine_topk(emb, q, k=3).orderBy("rnk").collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]   # zero vector ranks LAST
