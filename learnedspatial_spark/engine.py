@@ -186,12 +186,21 @@ class SpatialEngine:
             # splitter build needs only (x, y); pid here is a DuckDB-local
             # hash (the Spark-side pid is xxhash64(url) — never compared)
             import duckdb
+
+            from .streaming.ingest import GEO_RE
             con = duckdb.connect()
+            # SAME regex as the Spark extraction (extract.points_from_pages
+            # via GEO_RE) and TRY_CAST: a page whose text contains 'geo:'
+            # without a parsable coordinate pair passes the LIKE prefilter,
+            # regexp_extract returns '' there, and a plain cast('') raises
+            # — the Spark side drops such rows, so must this one
             rel = con.sql(
+                "SELECT * FROM ("
                 "SELECT hash(url) AS pid, "
-                "cast(regexp_extract(text, 'geo:(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)', 1) as double) AS x, "
-                "cast(regexp_extract(text, 'geo:(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)', 2) as double) AS y "
-                f"FROM read_parquet('{self.sf_dir}/*.parquet') WHERE text LIKE '%geo:%'")
+                f"try_cast(regexp_extract(text, '{GEO_RE}', 1) as double) AS x, "
+                f"try_cast(regexp_extract(text, '{GEO_RE}', 2) as double) AS y "
+                f"FROM read_parquet('{self.sf_dir}/*.parquet') WHERE text LIKE '%geo:%'"
+                ") WHERE x IS NOT NULL AND y IS NOT NULL")
             pid, x, y = rel.fetchnumpy().values()
             con.close()
             return pid.astype(np.int64), x.astype(np.float64), y.astype(np.float64)
@@ -344,6 +353,17 @@ class SpatialEngine:
             }
         return self._models
 
+    def _models_broadcast(self):
+        """Broadcast handle for the pre-fit model dict: shipping it via the
+        probe closure would re-serialize O(#cells x knots) into EVERY
+        task of every probe job (tiled.py ships its model table the same
+        way)."""
+        if self._models is None:
+            return None
+        if getattr(self, "_models_bc", None) is None:
+            self._models_bc = self.spark.sparkContext.broadcast(self._models)
+        return self._models_bc
+
     # -------------------------------------------------- candidate pruning ---
 
     def _cell_query_map(self, rects: list[tuple]) -> dict[int, list[int]]:
@@ -363,8 +383,9 @@ class SpatialEngine:
                      cellmap: dict[int, list[int]] | None = None) -> DataFrame:
         refine = self.refine
         # pre-fit knots index the FULL cell's sorted order — unusable for
-        # salted sub-groups, so fall back to in-probe fit when salting
-        models = self._models if not self.salt_rows else None
+        # salted sub-groups, so fall back to in-probe fit when salting;
+        # shipped as a broadcast, not a closure capture (O(#cells) payload)
+        models_bc = self._models_broadcast() if not self.salt_rows else None
         if cellmap is None:
             cellmap = self._cell_query_map(rects)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
@@ -397,7 +418,7 @@ class SpatialEngine:
             fx, fy, tx, ty = q[qi, 0], q[qi, 1], q[qi, 2], q[qi, 3]
             knots = None
             if refine == "learned" and n > spl.LINEAR_SCAN_THRESHOLD:
-                pre = models.get(cell) if models is not None else None
+                pre = models_bc.value.get(cell) if models_bc is not None else None
                 if pre is not None:
                     knots = pre
                 else:
@@ -442,10 +463,11 @@ class SpatialEngine:
         cells enter the distributed probe.  For broad rectangles this
         removes most of the scan (a whole-domain query probes nothing)."""
         from .operators.probes import split_contained_counts
-        cellmap = self._cell_query_map(rects)
-        s = self.cell_stats()
+        s = self.cell_stats()  # also fills STR MBRs for cells_for_rect
+        cells_per_query = [self.partitioner.cells_for_rect(r[1], r[2], r[3], r[4])
+                           for r in rects]
         base, boundary = split_contained_counts(
-            rects, cellmap, s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
+            rects, cells_per_query, s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
         parts = self._range_probe(rects, materialize=False, cellmap=boundary)
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
         qdf = self.spark.createDataFrame(
@@ -640,10 +662,11 @@ class SpatialEngine:
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
             qidx = cellmap.get(cell)
+            empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"), "pid": pd.Series(dtype="int64"),
+                                  "d2": pd.Series(dtype="float64"), "px": pd.Series(dtype="float64"),
+                                  "py": pd.Series(dtype="float64")})
             if not qidx:
-                return pd.DataFrame({"query_id": pd.Series(dtype="int64"), "pid": pd.Series(dtype="int64"),
-                                     "d2": pd.Series(dtype="float64"), "px": pd.Series(dtype="float64"),
-                                     "py": pd.Series(dtype="float64")})
+                return empty
             from .operators import probes
             xs = pdf["x"].to_numpy(); ys = pdf["y"].to_numpy(); pids = pdf["pid"].to_numpy()
             qi = np.asarray(qidx, dtype=np.int64)
@@ -653,7 +676,7 @@ class SpatialEngine:
                 frames.append(pd.DataFrame({
                     "query_id": np.full(sel.shape[0], qid_arr[t], dtype=np.int64),
                     "pid": pids[sel], "d2": d2[sel], "px": xs[sel], "py": ys[sel]}))
-            return pd.concat(frames) if frames else probe(key, pdf.iloc[:0])
+            return pd.concat(frames) if frames else empty
 
         gdf, keys = self._probe_groups(cellmap)
         parts = gdf.groupBy(*keys).applyInPandas(

@@ -77,26 +77,39 @@ def contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty) -> np.ndarray:
             & (fy <= ys_sorted.min()) & (ty >= ys_sorted.max()))
 
 
-def split_contained_counts(rects, cellmap: dict, ids, minx, miny, maxx, maxy, count):
-    """O3 shortcut applied at ROUTING: split a query->candidate-cell map
-    against per-cell stats bboxes.  Returns (base, boundary): ``base[qi]``
-    accumulates the counts of cells whose data bbox lies fully inside
-    query qi (never scanned), ``boundary`` keeps only the (cell, query)
-    pairs that still need a probe.  Shared by the in-session and tiled
+def split_contained_counts(rects, cells_per_query, ids, minx, miny, maxx, maxy, count):
+    """O3 shortcut applied at ROUTING, vectorized over each query's
+    candidate-cell array: cells whose data bbox lies fully inside query
+    qi accumulate their cached counts into ``base[qi]`` (never scanned);
+    only the boundary (cell, query) pairs still need a probe.  A broad
+    rectangle at a deep grid level has up to O(#cells) candidates — the
+    contained/uncontained split runs as numpy masks so the driver never
+    pays a per-cell Python loop for them, and the boundary dict it does
+    build is O(perimeter) for such rects.  Candidate ids with no stats
+    row (no data) are dropped.  Shared by the in-session and tiled
     engines so the two paths cannot drift."""
-    idx = {int(c): i for i, c in enumerate(ids)}
+    ids = np.asarray(ids, dtype=np.int64)
     base = np.zeros(len(rects), dtype=np.int64)
     boundary: dict[int, list[int]] = {}
-    for cell, qis in cellmap.items():
-        i = idx.get(cell)
-        if i is None:
-            continue  # candidate id with no data rows
-        for qi in qis:
-            _, fx, fy, tx, ty = rects[qi]
-            if fx <= minx[i] and tx >= maxx[i] and fy <= miny[i] and ty >= maxy[i]:
-                base[qi] += int(count[i])
-            else:
-                boundary.setdefault(cell, []).append(qi)
+    if ids.size == 0:
+        return base, boundary
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    minx = np.asarray(minx); miny = np.asarray(miny)
+    maxx = np.asarray(maxx); maxy = np.asarray(maxy)
+    count = np.asarray(count, dtype=np.int64)
+    for qi, (_, fx, fy, tx, ty) in enumerate(rects):
+        cells = np.asarray(cells_per_query[qi], dtype=np.int64)
+        if cells.size == 0:
+            continue
+        pos = np.minimum(np.searchsorted(ids_sorted, cells), ids_sorted.size - 1)
+        ok = ids_sorted[pos] == cells
+        si = order[pos[ok]]
+        contained = ((fx <= minx[si]) & (tx >= maxx[si])
+                     & (fy <= miny[si]) & (ty >= maxy[si]))
+        base[qi] = int(count[si[contained]].sum())
+        for c in cells[ok][~contained].tolist():
+            boundary.setdefault(int(c), []).append(qi)
     return base, boundary
 
 

@@ -59,9 +59,24 @@ def build_tiled_index(
     else:
         pages = spark.read.parquet(pages_path)
         points = extract.points_from_pages(pages)
-    # a stable id column for deterministic tie-breaks (url for pages,
-    # pid for derived point tables)
-    id_col = next(c for c in points.columns if c not in ("x", "y"))
+    # a stable id column for deterministic tie-breaks (url for pages, pid
+    # for derived point tables) — the same resolution rule as
+    # tiled._id_column: a known id name, else the single non-(x, y)
+    # column; anything else raises.  First-extra-column-wins would crash
+    # on an (x, y)-only frame and, worse, silently pick a NON-unique
+    # column (weight, ts, ...), making the hash sample and the STR rank
+    # tiebreak nondeterministic between a run and its resume.
+    named = [c for c in points.columns if c in ("pid", "url", "doc_id")]
+    others = [c for c in points.columns if c not in ("x", "y")]
+    if len(named) == 1:
+        id_col = named[0]
+    elif len(others) == 1:
+        id_col = others[0]
+    else:
+        raise ValueError(
+            "cannot resolve a unique id column for deterministic "
+            f"tie-breaks: columns {points.columns} (expected one of "
+            "pid/url/doc_id, or exactly one non-(x, y) column)")
 
     # partitioner from one stats pass (closed-form schemes need only bbox +
     # count — no driver collect of data)
@@ -102,7 +117,9 @@ def build_tiled_index(
         # full-scale cell occupancy still targets partition_size.  Cell
         # boundaries differ from an exact build; query RESULTS never do
         # (routing + refine stay exact for any partitioning).
-        k = max(1, n // build_sample_rows)
+        # ceil division (engine.py twin): floor would give k=1 for n in
+        # (budget, 2*budget) and "sample" the whole corpus to the driver
+        k = max(1, -(-n // max(1, build_sample_rows)))
         samp = (points.where(F.pmod(F.xxhash64(id_col), F.lit(k)) == 0)
                 .select("x", "y").collect())
         xs = np.asarray([r["x"] for r in samp])
@@ -129,12 +146,22 @@ def build_tiled_index(
     else:
         raise ValueError(f"unknown scheme {scheme}")
 
-    # phase 2: tiled table, partitioned by cell_id (idempotent overwrite)
+    # phase 2: tiled table, partitioned by cell_id (idempotent overwrite).
+    # Its own spec-keyed manifest makes the WRITE a resume unit too: a
+    # build that crashed during phase-3 model fitting must not re-shuffle
+    # and re-write the whole corpus (the single most expensive job here)
+    # before the fit manifest can skip completed cells.  A changed
+    # partitioner spec fails the manifest's lineage check and rebuilds.
     tiled_path = os.path.join(out_root, "points_tiled")
-    storage.write_partitioned(
-        assigned.repartition("cell_id")
-        .sortWithinPartitions("y", "x"),  # the reference's per-cell (y,x) sort
-        tiled_path, "cell_id")
+    tile_manifest = CheckpointManifest.load_or_create(
+        os.path.join(out_root, "_ckpt"), "tile_write", part.to_spec())
+    if not tile_manifest.meta.get("complete"):
+        storage.write_partitioned(
+            assigned.repartition("cell_id")
+            .sortWithinPartitions("y", "x"),  # the reference's per-cell (y,x) sort
+            tiled_path, "cell_id")
+        tile_manifest.meta["complete"] = True
+        tile_manifest.flush()
 
     tiled = storage.read_table(spark, tiled_path)
     cells = [r["cell_id"] for r in tiled.select("cell_id").distinct().collect()]

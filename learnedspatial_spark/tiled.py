@@ -131,13 +131,12 @@ class TiledSpatialEngine:
         contribute their persisted stats counts without being scanned —
         the partition pruning then skips interior cell directories
         entirely; only boundary cells are read."""
-        full: dict[int, list[int]] = {}
-        for qi, (qid, fx, fy, tx, ty) in enumerate(rects):
-            for c in self.partitioner.cells_for_rect(fx, fy, tx, ty):
-                full.setdefault(int(c), []).append(qi)
+        cells_per_query = [self.partitioner.cells_for_rect(r[1], r[2], r[3], r[4])
+                           for r in rects]
         s = self._cell_stats_np()
         base, cellmap = probes.split_contained_counts(
-            rects, full, s["ids"], s["minx"], s["miny"], s["maxx"], s["maxy"], s["count"])
+            rects, cells_per_query, s["ids"], s["minx"], s["miny"], s["maxx"],
+            s["maxy"], s["count"])
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         models_bc = self._models() if refine == "learned" else None
