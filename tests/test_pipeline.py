@@ -338,3 +338,31 @@ def test_spark_submit_cli_build_and_resume(tmp_path):
     res2 = submit()
     assert res2["fitted"] == 0          # manifest resume: nothing re-fit
     assert res2["cells"] == res1["cells"]
+
+
+def test_pages_exact_build_survives_unparsable_geo(spark, tmp_path):
+    """A page whose text contains 'geo:' WITHOUT a parsable coordinate
+    pair passes the LIKE prefilter; the exact-build DuckDB derivation
+    must drop it like the Spark extraction does (a plain cast('') raised
+    ConversionException and aborted __init__)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from learnedspatial_spark.engine import SpatialEngine
+    src = str(tmp_path / "pages")
+    schema = T.StructType([
+        T.StructField("url", T.StringType()), T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()), T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType())])
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [(f"https://x.example/{i}", ts, b"<html/>",
+             f"meta geo:{10.0 + i},{20.0 + i} body", "en") for i in range(8)]
+    rows += [("https://x.example/poison1", ts, b"<html/>", "see geo: tags here", "en"),
+             ("https://x.example/poison2", ts, b"<html/>", "geo:-.,-. broken", "en")]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    # kd_tree with a tiny threshold forces the exact (DuckDB) build path
+    eng = SpatialEngine(spark, src, source="pages", scheme="kd_tree")
+    assert eng.points().count() == 8          # Spark side drops the poison rows
+    _, x, _ = eng._points_np()                # DuckDB side must agree
+    assert x.shape[0] == 8
