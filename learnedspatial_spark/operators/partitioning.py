@@ -118,10 +118,12 @@ class FixedGridPartitioner(Partitioner):
         )
 
     def cells_for_rect(self, fx, fy, tx, ty):
-        lo = int(np.clip(math.floor((fx - self.xmin) / self.step), 0, self.n_cells - 1))
-        hi = int(np.clip(math.floor((tx - self.xmin) / self.step), 0, self.n_cells - 1))
         if tx < fx:
             return np.empty(0, dtype=np.int64)
+        if self.step == 0:  # degenerate domain (all x equal): cell 0 only
+            return np.zeros(1, dtype=np.int64)
+        lo = int(np.clip(math.floor((fx - self.xmin) / self.step), 0, self.n_cells - 1))
+        hi = int(np.clip(math.floor((tx - self.xmin) / self.step), 0, self.n_cells - 1))
         return np.arange(lo, hi + 1, dtype=np.int64)
 
     def num_cells(self):

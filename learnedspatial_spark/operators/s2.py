@@ -6,9 +6,10 @@ lat/lon arithmetic, bit-identical in Spark SQL and DuckDB — the property
 the value-parity gate needs).  This module adds the genuinely SPHERICAL
 variant of that hierarchy for production geo bucketing/rollup: points are
 projected onto the six faces of a cube around the unit sphere (the S2
-construction: faces 0..5 = +x -x? no — see ``FACE_AXES``), so cells keep
-near-uniform ground area at the poles and across the antimeridian, where
-a raw lat/lon grid degenerates.
+construction; face numbering and per-face (u, v) frames are tabulated in
+the :func:`face_uv` docstring), so cells keep near-uniform ground area at
+the poles and across the antimeridian, where a raw lat/lon grid
+degenerates.
 
 Deliberately NOT in the DuckDB-graded contract: the projection needs
 sin/cos, and trig libraries are not guaranteed bit-identical across
@@ -37,8 +38,9 @@ from pyspark.sql import DataFrame
 #: int64 for level <= 29 (3 face values * 4^29 < 2^61).
 DEFAULT_LEVEL = 12
 
-# face k covers the cube side where axis |FACE_AXES[k]| is largest:
-# 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z (the S2 face numbering convention).
+# face k covers the cube side where that signed axis is largest:
+# 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z (the S2 face numbering convention);
+# the per-face (u, v) frames are tabulated in face_uv's docstring.
 
 
 def latlon_to_xyz(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -46,9 +48,13 @@ def latlon_to_xyz(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndar
     # meridian, but sin(+pi) and sin(-pi) are OPPOSITE one-ulp floats
     # (+-1.22e-16) that straddle the v=0 cell boundary on the -x face —
     # without this, the two spellings of the antimeridian land in
-    # different cells
+    # different cells.  Modulo-based wrap so arbitrarily out-of-range
+    # longitudes (540, -900, ...) canonicalize too, not just one +-360
+    # shift; in-range values pass through unchanged (no float drift from
+    # the modulo on already-canonical input).
     lon = np.asarray(lon, dtype=np.float64)
-    lon = np.where(lon >= 180.0, lon - 360.0, np.where(lon < -180.0, lon + 360.0, lon))
+    lon = np.where((lon >= 180.0) | (lon < -180.0),
+                   np.mod(lon + 180.0, 360.0) - 180.0, lon)
     la = np.radians(np.asarray(lat, dtype=np.float64))
     lo = np.radians(lon)
     cl = np.cos(la)

@@ -37,10 +37,36 @@ def _cosine_col(a: str, b: str) -> F.Column:
             .otherwise(F.lit(-2.0)))
 
 
-def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+#: Row ceiling for the deliberately-all-pairs validation twins.  They are
+#: the exact small-scale baselines of graded bucketed paths (LSH/IVF) —
+#: correct at any size, but a cross join over a production corpus is a
+#: plan nobody should run by accident.  100k rows keeps every test/bench
+#: scale (sf0.001-0.1: <= 10k embeddings) far under the gate.
+ALL_PAIRS_MAX_ROWS = 100_000
+
+
+def _guard_all_pairs(emb: DataFrame, what: str, force: bool) -> None:
+    """Fail fast when an all-pairs validation twin is pointed at a corpus
+    too large for a cross join (one count job — cheap next to the join it
+    prevents).  ``force=True`` is the explicit operator override."""
+    if force:
+        return
+    n = emb.count()
+    if n > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{what} is the exact ALL-PAIRS validation twin (cross join, "
+            f"O(n^2)): refusing {n} rows > {ALL_PAIRS_MAX_ROWS}.  Use the "
+            f"bucketed scale path (lsh_bucket_topk / ivf_topk / "
+            f"embedding_neardup_lsh), or pass force=True to insist.")
+
+
+def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                      force: bool = False) -> DataFrame:
     """Exact top-k by cosine: (query_id, rnk, vec_id).  ``queries``:
     (query_id, qvec array<float/double>).  Broadcast the query side —
-    candidate side streams; one window per query for top-k."""
+    candidate side streams; one window per query for top-k.  Guarded
+    against production-size corpora (see :func:`_guard_all_pairs`)."""
+    _guard_all_pairs(emb, "brute_cosine_topk", force)
     j = emb.crossJoin(F.broadcast(queries))
     scored = j.select(
         "query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
@@ -58,13 +84,16 @@ def query_vectors(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")))
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            force: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b) with
     cosine >= threshold.  Exact baseline = self cross join with the same
     JVM fold as :func:`brute_cosine_topk` (DuckDB-bit-comparable, so the
     pair set is oracle-checkable).  Scale path at 100 TB = LSH-bucketed
     candidates (``lsh_bucket_topk`` machinery) or IVF cluster-local pairs
-    (``ivf_topk`` assignment) so only same-bucket pairs are scored."""
+    (``ivf_topk`` assignment) so only same-bucket pairs are scored.
+    Guarded against production-size corpora (see :func:`_guard_all_pairs`)."""
+    _guard_all_pairs(emb, "embedding_neardup_pairs", force)
     a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
     j = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))

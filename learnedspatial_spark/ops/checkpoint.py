@@ -47,7 +47,18 @@ class CheckpointManifest:
         return os.path.join(self.root, f"{self.job}.manifest.json")
 
     @staticmethod
-    def load_or_create(root: str, job: str, partitioner_spec: dict | None = None) -> "CheckpointManifest":
+    def load_or_create(root: str, job: str, partitioner_spec: dict | None = None,
+                       reset_on_mismatch: bool = False) -> "CheckpointManifest":
+        """Load the manifest, or create a fresh one.  A stored spec that
+        differs from ``partitioner_spec`` is a lineage mismatch: by default
+        refuse to resume (raise) — resuming a half-done job under a
+        different splitter would silently mix assignments.  With
+        ``reset_on_mismatch=True`` the stale manifest is discarded and a
+        FRESH one returned instead, for callers whose outputs are rebuilt
+        whole-table on the first write (build_tiled_index: static
+        partitioned overwrite + overwrite-when-no-done-cells model table),
+        so a legitimately changed spec rebuilds from scratch rather than
+        wedging the out_root."""
         m = CheckpointManifest(root=root, job=job, partitioner_spec=partitioner_spec)
         os.makedirs(root, exist_ok=True)
         if os.path.exists(m.path):
@@ -55,6 +66,9 @@ class CheckpointManifest:
                 d = json.load(f)
             if (partitioner_spec is not None and d.get("partitioner_spec") is not None
                     and _spec_core(d["partitioner_spec"]) != _spec_core(partitioner_spec)):
+                if reset_on_mismatch:
+                    os.remove(m.path)
+                    return m  # fresh manifest: no done cells, no meta
                 raise ValueError(
                     "checkpoint manifest was produced by a different partitioner "
                     "spec; refusing to resume (lineage mismatch)")

@@ -151,10 +151,14 @@ def build_tiled_index(
     # build that crashed during phase-3 model fitting must not re-shuffle
     # and re-write the whole corpus (the single most expensive job here)
     # before the fit manifest can skip completed cells.  A changed
-    # partitioner spec fails the manifest's lineage check and rebuilds.
+    # partitioner spec resets BOTH manifests (reset_on_mismatch) and
+    # rebuilds from scratch — safe because the first tile write is a
+    # static partitioned overwrite (truncates the table dir) and the model
+    # table writes mode=overwrite whenever done_cells is empty.
     tiled_path = os.path.join(out_root, "points_tiled")
     tile_manifest = CheckpointManifest.load_or_create(
-        os.path.join(out_root, "_ckpt"), "tile_write", part.to_spec())
+        os.path.join(out_root, "_ckpt"), "tile_write", part.to_spec(),
+        reset_on_mismatch=True)
     if not tile_manifest.meta.get("complete"):
         storage.write_partitioned(
             assigned.repartition("cell_id")
@@ -167,7 +171,9 @@ def build_tiled_index(
     cells = [r["cell_id"] for r in tiled.select("cell_id").distinct().collect()]
 
     # phase 3: model fit, cell-granular resume
-    manifest = CheckpointManifest.load_or_create(os.path.join(out_root, "_ckpt"), "fit_models", part.to_spec())
+    manifest = CheckpointManifest.load_or_create(
+        os.path.join(out_root, "_ckpt"), "fit_models", part.to_spec(),
+        reset_on_mismatch=True)
     model_path = os.path.join(out_root, "models")
 
     def fit_batch(batch_cells: list[int]) -> None:

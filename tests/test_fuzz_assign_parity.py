@@ -121,6 +121,13 @@ def test_fixed_grid_degenerate_domain_explicit():
     y = np.zeros(3)
     np.testing.assert_array_equal(p.assign_np(x), [0, 0, 0])
     np.testing.assert_array_equal(duck_eval(p.assign_sql("x"), x, y), [0, 0, 0])
+    # the QUERY side of the same degenerate domain: a rect covering the
+    # point answers cell 0, a disjoint/inverted rect answers no cells —
+    # previously floor((fx - xmin) / 0) raised ZeroDivisionError, so a
+    # degenerate build crashed on its first range query
+    np.testing.assert_array_equal(p.cells_for_rect(4.0, 0.0, 6.0, 1.0), [0])
+    np.testing.assert_array_equal(p.cells_for_rect(5.0, 0.0, 5.0, 1.0), [0])
+    assert p.cells_for_rect(6.0, 0.0, 4.0, 1.0).size == 0
 
 
 # ------------------------------------------------ routing soundness fuzz ---

@@ -44,9 +44,25 @@ def test_checkpoint_kill_mid_run(tmp_path):
 
 def test_checkpoint_lineage_mismatch(tmp_path):
     root = str(tmp_path / "ckpt")
-    CheckpointManifest.load_or_create(root, "fit", {"scheme": "a"}).flush()
+    m0 = CheckpointManifest.load_or_create(root, "fit", {"scheme": "a"})
+    m0.mark_done([1, 2, 3])
     with pytest.raises(ValueError):
         CheckpointManifest.load_or_create(root, "fit", {"scheme": "b"})
+    # reset_on_mismatch: a legitimately changed spec gets a FRESH manifest
+    # (no done cells -> the caller rebuilds from scratch) instead of a
+    # permanently wedged out_root
+    m = CheckpointManifest.load_or_create(root, "fit", {"scheme": "b"},
+                                          reset_on_mismatch=True)
+    assert m.done_cells == set() and m.partitioner_spec == {"scheme": "b"}
+    m.flush()
+    # and the reset persists: the next resume under the NEW spec loads clean
+    m2 = CheckpointManifest.load_or_create(root, "fit", {"scheme": "b"})
+    assert m2.done_cells == set()
+    # matching spec never resets
+    m2.mark_done([7])
+    m3 = CheckpointManifest.load_or_create(root, "fit", {"scheme": "b"},
+                                           reset_on_mismatch=True)
+    assert m3.done_cells == {7}
 
 
 def test_minhash_finds_near_dups(spark):
@@ -414,3 +430,25 @@ def test_zero_norm_embedding_never_matches_or_ranks(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     top = similarity.brute_cosine_topk(emb, q, k=3).orderBy("rnk").collect()
     assert [r["vec_id"] for r in top] == [1, 2, 3]   # zero vector ranks LAST
+
+
+def test_all_pairs_twins_guarded_at_scale(spark):
+    """The deliberately-all-pairs validation twins must refuse a corpus
+    above ALL_PAIRS_MAX_ROWS (the cross join would be O(n^2) at production
+    scale) unless the caller forces; the graded small-scale entries and
+    force=True stay functional."""
+    from learnedspatial_spark.operators import similarity
+    big = spark.range(similarity.ALL_PAIRS_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id bigint, qvec array<double>")
+    with pytest.raises(ValueError, match="ALL-PAIRS"):
+        similarity.embedding_neardup_pairs(big, threshold=0.9)
+    with pytest.raises(ValueError, match="ALL-PAIRS"):
+        similarity.brute_cosine_topk(big, q, k=1)
+    # force=True overrides (plan construction only — don't execute the join)
+    similarity.embedding_neardup_pairs(big, threshold=0.9, force=True)
+    similarity.brute_cosine_topk(big, q, k=1, force=True)
+    # under the ceiling: untouched
+    small = big.limit(5)
+    assert similarity.brute_cosine_topk(small, q, k=1).count() == 1

@@ -46,6 +46,16 @@ def test_build_tiled_index_and_resume(spark, tmp_path):
     # lineage recorded
     assert os.path.exists(os.path.join(out_root, "_lineage", "runs.jsonl"))
 
+    # a legitimately CHANGED spec on the same out_root resets the
+    # manifests and rebuilds from scratch (reset_on_mismatch) — it must
+    # neither raise nor resume the old spec's cells
+    res3 = pipeline.build_tiled_index(spark, pages_path, out_root, partition_size=400)
+    assert res3["fitted"] == res3["cells"] > 0
+    assert res3["cells"] != res1["cells"]
+    tiled3 = spark.read.parquet(res3["tiled_path"])
+    assert tiled3.count() == 3000  # whole-table overwrite, no stale cells
+    assert spark.read.parquet(res3["model_path"]).count() == res3["cells"]
+
 
 def test_build_tiled_index_tree_scheme_sampled(spark, tmp_path):
     """Tree-scheme materialization via the bounded sampled splitter build:

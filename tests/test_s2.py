@@ -41,6 +41,12 @@ def test_poles_and_antimeridian():
     fa = s2.s2_cell_id(np.asarray([0.0]), np.asarray([179.99]), level=6) >> np.int64(12)
     fb = s2.s2_cell_id(np.asarray([0.0]), np.asarray([-179.99]), level=6) >> np.int64(12)
     assert fa == fb == 3  # the -x face
+    # modulo wrap: arbitrarily out-of-range longitudes canonicalize (540
+    # and -900 are both the antimeridian; 370 is 10E), not just one +-360
+    lat = np.asarray([10.0, 10.0, 10.0])
+    wrapped = s2.s2_cell_id(lat, np.asarray([540.0, -900.0, 370.0]), level=10)
+    canon = s2.s2_cell_id(lat, np.asarray([180.0, 180.0, 10.0]), level=10)
+    np.testing.assert_array_equal(wrapped, canon)
 
 
 def test_hierarchy_parent_matches_coarser_level():
