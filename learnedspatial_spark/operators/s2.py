@@ -11,15 +11,19 @@ the :func:`face_uv` docstring), so cells keep near-uniform ground area at
 the poles and across the antimeridian, where a raw lat/lon grid
 degenerates.
 
-Deliberately NOT in the DuckDB-graded contract: the projection needs
-sin/cos, and trig libraries are not guaranteed bit-identical across
-engines — a point within one ulp of a cell boundary could flip cells
-between Spark (Java Math) and DuckDB (libm) and fail an exact value-hash
-for a correct implementation.  The kernel is NumPy (one implementation,
-used by both the batch helper and any stream), tested by spherical
-properties instead: full face coverage, pole/antimeridian sanity,
-hierarchy (parent = cell >> 2 with the face preserved), and agreement of
-the DataFrame path with the kernel.
+Graded contract status: the engine side is the NumPy kernel (one
+implementation for batch helper and stream — never Java Math), and
+:func:`s2_cell_sql` renders the identical arithmetic for DuckDB, so the
+encoder IS driver-graded (``tile_assign_s2``).  The prerequisite is
+empirical, not assumed: trig libraries are not guaranteed bit-identical
+across engines, but NumPy's and DuckDB's ``radians``/``sin``/``cos``
+were verified BITWISE IDENTICAL over every corpus point at sf0.01 and
+sf0.1 (tests/test_s2.py::test_trig_bitwise_parity_with_duckdb keeps the
+guard); identical doubles make every downstream comparison/division/
+floor resolve identically, including face-boundary ties.  The kernel is
+additionally tested by spherical properties: full face coverage,
+pole/antimeridian sanity, hierarchy (parent = cell >> 2 with the face
+preserved), and agreement of the DataFrame path with the kernel.
 
 Simplification vs real S2, stated plainly: cell spacing on a face is
 LINEAR in the gnomonic (u, v) (S2 applies a quadratic s-t transform to
@@ -128,6 +132,50 @@ def s2_parent(cell: np.ndarray, level: int, steps: int = 1) -> np.ndarray:
     if steps < 0 or steps > level:
         raise ValueError(f"steps must be in 0..{level}")
     return cell >> np.int64(2 * steps)
+
+
+def s2_cell_sql(lat_expr: str, lon_expr: str, level: int = DEFAULT_LEVEL) -> str:
+    """DuckDB-SQL twin of :func:`s2_cell_id` — the same arithmetic, term
+    for term, over engine-native ``radians``/``sin``/``cos`` (verified
+    bitwise-equal to NumPy's on the corpus; module docstring).  Longitude
+    canonicalization is OMITTED: the corpus derivation yields lon in
+    [-180, 180) by construction, the range on which the kernel's wrap is
+    the identity — callers with out-of-range longitudes must wrap first.
+
+    Rendering notes: float constants go through exact casts (DuckDB
+    parses bare ``1.0`` as DECIMAL); ``(u + 1) / 2 * n`` keeps the
+    kernel's left-to-right association; the Morton interleave is a flat
+    24-term sum of shift/mask terms (well under DuckDB's 128-deep
+    expression binder)."""
+    if not (0 < level <= 29):
+        raise ValueError(f"level must be in 1..29, got {level}")
+    one, two = "cast(1 as double)", "cast(2 as double)"
+    n = 1 << level
+    la, lo = f"radians({lat_expr})", f"radians({lon_expr})"
+    x3 = f"(cos({la}) * cos({lo}))"
+    y3 = f"(cos({la}) * sin({lo}))"
+    z3 = f"sin({la})"
+    ax, ay, az = f"abs({x3})", f"abs({y3})", f"abs({z3})"
+    face = (f"(CASE WHEN {ax} >= greatest({ay}, {az}) THEN "
+            f"(CASE WHEN {x3} >= 0 THEN 0 ELSE 3 END) "
+            f"WHEN {ay} >= {az} THEN (CASE WHEN {y3} >= 0 THEN 1 ELSE 4 END) "
+            f"ELSE (CASE WHEN {z3} >= 0 THEN 2 ELSE 5 END) END)")
+    # per-face (u, v) frames — the face_uv docstring table
+    u = (f"(CASE {face} WHEN 0 THEN {y3} / {x3} WHEN 1 THEN -{x3} / {y3} "
+         f"WHEN 2 THEN -{x3} / {z3} WHEN 3 THEN {z3} / {x3} "
+         f"WHEN 4 THEN {z3} / {y3} ELSE -{y3} / {z3} END)")
+    v = (f"(CASE {face} WHEN 0 THEN {z3} / {x3} WHEN 1 THEN {z3} / {y3} "
+         f"WHEN 2 THEN -{y3} / {z3} WHEN 3 THEN {y3} / {x3} "
+         f"WHEN 4 THEN -{x3} / {y3} ELSE -{x3} / {z3} END)")
+    nn = f"cast({n} as double)"
+    i = (f"least(greatest(cast(floor(({u} + {one}) / {two} * {nn}) as bigint), 0), {n - 1})")
+    j = (f"least(greatest(cast(floor(({v} + {one}) / {two} * {nn}) as bigint), 0), {n - 1})")
+    morton = " + ".join(
+        f"(((ij.i >> {b}) & 1) << {2 * b + 1}) + (((ij.j >> {b}) & 1) << {2 * b})"
+        for b in range(level))
+    # one subquery layer so i/j are computed once, not per Morton term
+    return (f"(SELECT cast(ij.face * {1 << (2 * level)} + {morton} as bigint) "
+            f"FROM (SELECT {face} AS face, {i} AS i, {j} AS j) ij)")
 
 
 S2_SCHEMA = "cell_id bigint"

@@ -46,6 +46,29 @@ def test_contamination_threshold(spark):
     assert out == {1: 3}
 
 
+def test_contamination_words_flags_shared_phrases(spark):
+    """Word-level decontamination (the scale path): shared word 3-grams
+    flag, and windows are WORD-aligned — a char-level overlap that does
+    not cover whole words contributes nothing."""
+    eval_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (7, eval_text, "en", len(eval_text)),
+        # copies 5 consecutive words -> 3 distinct 3-grams >= min_hits(2)
+        (1, "prefix quick brown fox jumps over suffix words here", "en", 51),
+        # one shared 3-gram only -> below min_hits
+        (2, "the quick brown elephant sits still near a pond", "en", 48),
+        (3, "zz yy xx ww vv uu tt ss rr qq", "en", 29),
+    ]
+    out = {r["doc_id"]: r["n_hit_grams"]
+           for r in corpus.contamination_hits_words(_docs_df(spark, rows)).collect()}
+    assert out == {1: 3}
+    # min_hits=1 admits the single-gram doc too
+    out1 = {r["doc_id"]: r["n_hit_grams"]
+            for r in corpus.contamination_hits_words(
+                _docs_df(spark, rows), min_hits=1).collect()}
+    assert out1 == {1: 3, 2: 1}
+
+
 def test_vocab_stats_match_python(spark):
     rows = [
         (1, "Alpha beta  beta GAMMA", "en", 22),

