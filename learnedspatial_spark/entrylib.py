@@ -1022,7 +1022,7 @@ def _duck_bucket_expr(col: str, planes: list[list[float]]) -> str:
 
 
 def _duck_cos(e1: str, e2: str) -> str:
-    """Guarded cosine, the DuckDB render of similarity._cosine_col: the
+    """Guarded cosine, the DuckDB render of similarity._cosine_guarded: the
     SAME fold/sqrt/divide arithmetic (bit-identical ranks) with the same
     -2 sentinel for zero-norm vectors (NaN would sort GREATER than every
     cosine in both engines and the gate could not see it)."""
@@ -1338,5 +1338,5 @@ def oracle_sql() -> dict[str, str]:
     # (md5 + integer arithmetic both engines evaluate identically) covers
     # the sketches, and the JVM sequential folds match DuckDB's
     # list_inner_product bit-for-bit (all cosine twins go through
-    # _duck_cos, the guarded mirror of similarity._cosine_col).
+    # _duck_cos, the guarded mirror of similarity._cosine_guarded).
     return out

@@ -18,20 +18,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _cosine_col(a: str, b: str) -> F.Column:
-    """Guarded cosine: a zero-norm vector would make 0.0/0.0 = NaN, and
-    NaN sorts GREATER than every number in both Spark and DuckDB — the
-    zero vector would pass every >= threshold filter and take rank 1 in
-    every top-k, and the oracle gate could not catch it (same NaN order
-    both sides).  Undefined direction ranks last instead: sentinel -2 <
-    every real cosine.  The DuckDB twins mirror this exact arithmetic
-    (entrylib._duck_cos)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
+def _dot_col(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product (matches DuckDB's list_inner_product
+    left fold bit-for-bit — the property the oracle gate relies on)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sq_norm_col(col: str) -> F.Column:
+    """Squared L2 norm as the same sequential fold.  Computed ONCE PER ROW
+    (projected below the join) in every cosine path: higher-order-function
+    folds evaluate INTERPRETED in Spark 4 with no common-subexpression
+    reuse, so a per-pair cosine expression that mentions each norm twice
+    (guard + value) pays FOUR norm folds per candidate pair — measured
+    ~1.3x on embedding_neardup_lsh, and the gap grows with candidates per
+    bucket.  Per-row projection leaves exactly one dot fold per pair."""
+    return F.aggregate(F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cosine_guarded(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """Guarded cosine from a dot column and two PRECOMPUTED squared-norm
+    columns: a zero-norm vector would make 0.0/0.0 = NaN, and NaN sorts
+    GREATER than every number in both Spark and DuckDB — the zero vector
+    would pass every >= threshold filter and take rank 1 in every top-k,
+    and the oracle gate could not catch it (same NaN order both sides).
+    Undefined direction ranks last instead: sentinel -2 < every real
+    cosine.  The DuckDB twins mirror this exact arithmetic
+    (entrylib._duck_cos); projecting the norms per row changes no value —
+    it is the same fold, computed once."""
     return (F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)),
                    dot / (F.sqrt(na) * F.sqrt(nb)))
             .otherwise(F.lit(-2.0)))
@@ -67,9 +82,13 @@ def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     candidate side streams; one window per query for top-k.  Guarded
     against production-size corpora (see :func:`_guard_all_pairs`)."""
     _guard_all_pairs(emb, "brute_cosine_topk", force)
-    j = emb.crossJoin(F.broadcast(queries))
+    e = emb.withColumn("n2e", _sq_norm_col("embedding"))
+    q = queries.withColumn("n2q", _sq_norm_col("qvec"))
+    j = e.crossJoin(F.broadcast(q))
     scored = j.select(
-        "query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
+        "query_id", "vec_id",
+        _cosine_guarded(_dot_col("embedding", "qvec"),
+                        F.col("n2e"), F.col("n2q")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
@@ -94,10 +113,14 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     (``ivf_topk`` assignment) so only same-bucket pairs are scored.
     Guarded against production-size corpora (see :func:`_guard_all_pairs`)."""
     _guard_all_pairs(emb, "embedding_neardup_pairs", force)
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    e = emb.select("vec_id", "embedding", _sq_norm_col("embedding").alias("n2"))
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"),
+                 F.col("n2").alias("n2a"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"),
+                 F.col("n2").alias("n2b"))
     j = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-    return (j.where(_cosine_col("ea", "eb") >= threshold)
+    return (j.where(_cosine_guarded(_dot_col("ea", "eb"),
+                                    F.col("n2a"), F.col("n2b")) >= threshold)
             .select("vec_id_a", "vec_id_b"))
 
 
@@ -139,10 +162,14 @@ def lsh_bucket_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     and scoring are pure JVM folds over literal planes, so the whole query
     has an exact DuckDB twin (entrylib)."""
     planes = _hyperplanes(dim, n_planes, seed).tolist()
-    emb_b = emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
-    q_b = queries.withColumn("bucket", F.expr(lsh_bucket_expr("qvec", planes)))
+    emb_b = (emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
+             .withColumn("n2e", _sq_norm_col("embedding")))
+    q_b = (queries.withColumn("bucket", F.expr(lsh_bucket_expr("qvec", planes)))
+           .withColumn("n2q", _sq_norm_col("qvec")))
     j = emb_b.join(F.broadcast(q_b), "bucket")
-    scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
+    scored = j.select("query_id", "vec_id",
+                      _cosine_guarded(_dot_col("embedding", "qvec"),
+                                      F.col("n2e"), F.col("n2q")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
@@ -160,12 +187,16 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
     is exact-checkable."""
     from ..sqlcompat import flit
     planes = _hyperplanes(dim, n_planes, seed).tolist()
-    emb_b = emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
-    a = emb_b.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
-    b = emb_b.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    emb_b = (emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", planes)))
+             .withColumn("n2", _sq_norm_col("embedding")))
+    a = emb_b.select("bucket", F.col("vec_id").alias("vec_id_a"),
+                     F.col("embedding").alias("ea"), F.col("n2").alias("n2a"))
+    b = emb_b.select("bucket", F.col("vec_id").alias("vec_id_b"),
+                     F.col("embedding").alias("eb"), F.col("n2").alias("n2b"))
     return (a.join(b, "bucket")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))
-            .where(_cosine_col("ea", "eb") >= F.expr(flit(threshold)))
+            .where(_cosine_guarded(_dot_col("ea", "eb"), F.col("n2a"), F.col("n2b"))
+                   >= F.expr(flit(threshold)))
             # each vector lives in exactly one bucket -> pairs already unique
             .select("vec_id_a", "vec_id_b"))
 
@@ -235,16 +266,20 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              .withColumn("scores", F.expr(ivf_scores_expr("embedding", centroids)))
              .withColumn("list_id",
                          F.expr("cast(array_position(scores, array_max(scores)) - 1 as bigint)"))
-             .drop("scores"))
+             .drop("scores")
+             .withColumn("n2e", _sq_norm_col("embedding")))
     q_l = (queries
            .withColumn("scores", F.expr(ivf_scores_expr("qvec", centroids)))
-           .select("query_id", "qvec", F.posexplode("scores").alias("c", "s"))
+           .withColumn("n2q", _sq_norm_col("qvec"))
+           .select("query_id", "qvec", "n2q", F.posexplode("scores").alias("c", "s"))
            .withColumn("r", F.row_number().over(
                Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("c"))))
            .where(F.col("r") <= n_probe)
-           .select("query_id", F.col("c").cast("bigint").alias("list_id"), "qvec"))
+           .select("query_id", F.col("c").cast("bigint").alias("list_id"), "qvec", "n2q"))
     j = emb_l.join(F.broadcast(q_l), "list_id")
-    scored = j.select("query_id", "vec_id", _cosine_col("embedding", "qvec").alias("cos"))
+    scored = j.select("query_id", "vec_id",
+                      _cosine_guarded(_dot_col("embedding", "qvec"),
+                                      F.col("n2e"), F.col("n2q")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
