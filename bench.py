@@ -194,6 +194,7 @@ def main() -> None:
     timed("q_neardup_clusters", lambda: dedup.neardup_clusters(docs, threshold=0.5).count())
     from learnedspatial_spark.operators import corpus
     timed("q_contamination_hits", lambda: corpus.contamination_hits(docs).count())
+    timed("q_contamination_words", lambda: corpus.contamination_hits_words(docs).count())
     timed("q_vocab_topk", lambda: corpus.vocab_stats_topk(docs).count())
     timed("q_mix_sample", lambda: corpus.mix_sample(docs).count())
     # collect(), not count(): count() lets Catalyst prune the aggregate
