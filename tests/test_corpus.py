@@ -168,13 +168,21 @@ def test_repetition_span_adversarial_cross_engine_parity(spark):
         (4, "x a\x0bb y x a\x0bb y", "en", 13),  # vertical tab inside words
         (5, "\tx y\n", "en", 5),               # non-space edge whitespace
         (6, "a b a b a b", "en", 11),          # plain repetition control
+        # eval-split doc (7 % 101 == 7) sharing vertical-tab-separated
+        # phrases with doc 4: flags doc 4 iff BOTH engines split \x0b
+        (7, "x a\x0bb y p q", "en", 13),
     ]
     sdf = _docs_df(spark, rows)
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "n_chars"]))
     for name, op in (("repetition_stats", corpus.repetition_stats),
-                     ("span_dedup_stats", corpus.span_dedup_stats)):
+                     ("span_dedup_stats", corpus.span_dedup_stats),
+                     # word-level decontamination shares the tokenizer and
+                     # must survive the same adversarial whitespace (its
+                     # min_hits filter usually empties on these rows, so
+                     # compare with min_hits=1 semantics via the hit docs)
+                     ("contamination_hits_words", corpus.contamination_hits_words)):
         got = sorted(tuple(r) for r in op(sdf).collect())
         want = sorted(tuple(r) for r in con.sql(entrylib.oracle_sql()[name]).fetchall())
         assert got == want, (name, got, want)
