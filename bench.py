@@ -161,6 +161,10 @@ def main() -> None:
         spark, f"{sf_dir}/lineitem.parquet", polys).collect())
     timed("q_knn", lambda: eng.knn(knnq).collect())
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
+    from learnedspatial_spark.operators import s2 as s2mod
+    from learnedspatial_spark.sources.points import points_df as _pdf
+    timed("q_tile_assign_s2",
+          lambda: s2mod.assign_s2(_pdf(spark, sf_dir)).count())
 
     engq = SpatialEngine(spark, sf_dir, scheme="quadtree", refine="learned")
     # build-once: cache this scheme's routed assignment like the fixed-grid
