@@ -136,13 +136,31 @@ spark.stop()
 
 
 def run(cores: int) -> dict:
+    """One parallelism level in a fresh subprocess, BRACKETED by the
+    page-touch host witness (this VM's sick mode oscillates mid-run:
+    a level measured while pagetouch < ~1 GB/s is contaminated and the
+    artifact must say so).  Waits bounded for quiet before launching."""
+    import time
+
+    import bench
+    waited = 0.0
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
+    _, pt = bench.host_bandwidth_gbs()
+    while pt < 1.0 and waited < max_wait:
+        time.sleep(45)
+        waited += 45
+        _, pt = bench.host_bandwidth_gbs()
     script = CHILD.format(repo=REPO, scale_input=SCALE_INPUT,
                           partition_size=PARTITION_SIZE)
     out = subprocess.run([sys.executable, "-c", script, str(cores)],
                          capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
-            return json.loads(line)
+            res = json.loads(line)
+            _, pt_after = bench.host_bandwidth_gbs()
+            res["witness"] = {"pagetouch_before": pt, "pagetouch_after": pt_after,
+                              "quiet_wait_s": waited}
+            return res
     raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
 
 
@@ -221,9 +239,19 @@ def main() -> None:
         "pass_4_to_16": e416["total"] >= 0.8,
         "tiers_learned_vs_binsearch": {k: round(v, 2) for k, v in tiers.items()},
         "kernel_ns_per_lookup": kern,
+        # per-level page-touch witnesses (quiet >= ~1 GB/s): a level
+        # bracketed by a sick reading is contaminated evidence
+        "level_witnesses": {str(c): res[c].get("witness") for c in res},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     w = {c: res[c]["walls"] for c in res}
+    wit_parts = []
+    for c in sorted(res):
+        wv = res[c].get("witness")
+        wit_parts.append(
+            f"local[{c}] {wv['pagetouch_before']:.2f}/{wv['pagetouch_after']:.2f}"
+            if wv else f"local[{c}] n/a")
+    wit_line = ", ".join(wit_parts)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — engine measurements
 
@@ -243,6 +271,10 @@ fit excluded from the timers; warm best-of-3 per workload).
 
 **Primary pair N=4 -> 4N=16: combined efficiency {e416['total']:.2f}
 (target >= 0.8: {"PASS" if e416['total'] >= 0.8 else "FAIL"}).**
+
+Per-level page-touch witnesses (GB/s before/after each level; quiet >=
+~1 — this VM's documented oscillating sick mode contaminates any level
+bracketed by a low reading): {wit_line}.
 
 ### Why two pairs, and what they mean at cluster scale
 
