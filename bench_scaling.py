@@ -215,7 +215,8 @@ def main() -> None:
         with open(from_json) as f:
             prior = json.load(f)
         res = {int(c): {"walls": w, "rows": prior["rows"],
-                        "tiers": prior.get("tiers_learned_vs_binsearch", {})}
+                        "tiers": prior.get("tiers_learned_vs_binsearch", {}),
+                        "witness": (prior.get("level_witnesses") or {}).get(str(c))}
                for c, w in prior["walls"].items()}
     else:
         res = {c: run(c) for c in (16, 4, 32, 8)}
