@@ -167,6 +167,20 @@ def events_window_stats_stream(spark: SparkSession, events_path: str) -> DataFra
                       "event_type", "cnt", "vmin", "vmax")
 
 
+def events_dedup_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """STATEFUL streaming dedup graded end-to-end: file-source stream ->
+    native streaming ``dropDuplicates`` (one fixed-size JVM state entry
+    per key — the 100 TB state model, see streaming/stateful.py) ->
+    availableNow memory sink.  The graded output is the DISTINCT KEY SET
+    (user_id, event_type): which physical row wins first-seen depends on
+    file read order, but the key set is deterministic, so the batch
+    ``SELECT DISTINCT`` is an exact oracle."""
+    ev = read_events_stream(spark, events_path)
+    kept = (ev.dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type"))
+    return run_stream_to_table(spark, kept, output_mode="append")
+
+
 def pip_count_stream(spark: SparkSession,
                      lineitem_path: str,
                      polygons: dict[int, tuple[list[float], list[float]]]) -> DataFrame:
