@@ -159,6 +159,9 @@ def main() -> None:
                      {g: polys[g] for g in list(polys)[:2]}).collect()
     timed("q_pip_count_stream", lambda: pip_count_stream(
         spark, f"{sf_dir}/lineitem.parquet", polys).collect())
+    from learnedspatial_spark.streaming.ingest import events_dedup_stream
+    timed("q_events_dedup_stream", lambda: events_dedup_stream(
+        spark, f"{sf_dir}/events.parquet").count())
     timed("q_knn", lambda: eng.knn(knnq).collect())
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
     from learnedspatial_spark.operators import s2 as s2mod
