@@ -88,6 +88,20 @@ def main() -> None:
             "probe-shuffle-free",
         ]))
 
+    # kNN: per-cell partial top-ks merge per QUERY in one
+    # FlatMapGroupsInPandas (the associative reduce the partials were
+    # designed for) — never a Window row_number over the full partial set
+    # (that would shuffle-sort every partial through one global stage) and
+    # never a SinglePartition exchange
+    p_knn = plan_of(eng.knn(wl.knn_queries(n=8)))
+    if p_knn.count("FlatMapGroupsInPandas") >= 2 and "SinglePartition" not in p_knn \
+            and re.search(r"\bWindow\b", p_knn) is None:
+        p_knn += ("\n-- audit: partials-merge-no-window (per-cell top-k + per-query "
+                  "FlatMapGroupsInPandas merge; no global sort, no single partition)\n")
+    sections.append(("knn (stats-pruned cells, partial top-k merge)", p_knn, [
+        "partials-merge-no-window",
+    ]))
+
     # STR assignment: the global (x, y, pid) rank must be the bucketed
     # two-phase plan (operators/ranking.py) — a bare Window.orderBy would
     # show up as an `Exchange SinglePartition`, the 100 TB scale-killer
