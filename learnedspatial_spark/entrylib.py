@@ -240,9 +240,13 @@ def _corpus_clean_keeplist(spark, sf_dir):
     per text), classified English, within a token-length band, and above
     a quality floor.  Everything is built-in Column logic over the shared
     SQL fragments, so the whole pipeline has a DuckDB twin — the shape a
-    100 TB pretraining-cleanup run takes (one scan, one dedup shuffle)."""
+    100 TB pretraining-cleanup run takes (one scan, one dedup shuffle).
+    The rep groupBy keys on the md5 DIGEST (16 bytes/doc through the
+    exchange, never the text — dedup.dedup_exact's identity), and the
+    filters evaluate before the doc_id semijoin with only doc_id
+    projected, so no shuffle in the plan carries document text."""
     docs = _docs(spark, sf_dir)
-    rep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    rep = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
     kept = (docs.join(rep, ["doc_id"], "leftsemi")
             .where(F.expr(tx.langid_sql("text")) == "en")
             .where(F.expr(tx.token_count_sql("text")).between(20, 2000))
@@ -1146,10 +1150,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cell_id // 4 AS parent_id, count(*) AS cnt, "
         "min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy "
         "FROM a GROUP BY cell_id // 4")
+    # md5 grouping mirrors dedup.dedup_exact's digest-keyed shuffle
     out["dedup_exact"] = ("SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups "
-                          "FROM documents GROUP BY text")
+                          "FROM documents GROUP BY md5(text)")
     out["corpus_clean_keeplist"] = (
-        "WITH rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) "
+        "WITH rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) "
         "SELECT d.doc_id AS doc_id FROM documents d JOIN rep USING (doc_id) "
         f"WHERE ({tx.langid_sql('d.text')}) = 'en' "
         f"AND ({tx.token_count_sql('d.text')}) BETWEEN 20 AND 2000 "

@@ -23,10 +23,16 @@ from ..functions import sketches as sk
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Exact duplicate groups by full text: (rep_doc_id, n_dups).  One
-    shuffle on the text hash; representative = min(doc_id)."""
+    """Exact duplicate groups: (rep_doc_id, n_dups), representative =
+    min(doc_id).  One shuffle keyed by the 16-byte md5 DIGEST of the text
+    — never by the text itself: a text-keyed groupBy's exchange carries
+    one copy of every distinct document (~corpus bytes at 100 TB), while
+    the digest key shuffles 16 bytes per doc.  Digest equality is the
+    standard dedup identity (an md5 collision would merge two distinct
+    texts; at 2^-64-per-pair odds every production pipeline accepts it);
+    the DuckDB twin mirrors the same md5 grouping."""
     return (
-        docs.groupBy("text")
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("rep_doc_id", "n_dups")
     )
