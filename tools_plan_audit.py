@@ -88,6 +88,28 @@ def main() -> None:
             "probe-shuffle-free",
         ]))
 
+    # production input path (north rule): pages -> points must prune the
+    # scan to (url, text) — html (the fat binary column) stays unread when
+    # the stored text is used — and the coordinate parse must be pure
+    # Column logic (no Python eval node of any kind in this plan)
+    import tempfile as _tf
+
+    from learnedspatial_spark import datagen as _dg
+    from learnedspatial_spark import extract as _ex
+    with _tf.TemporaryDirectory() as _td:
+        _pp = f"{_td}/pages"
+        _dg.pages_df(spark, 500, partitions=2).write.parquet(_pp)
+        p_pts = plan_of(_ex.points_from_pages(spark.read.parquet(_pp)))
+        m = re.search(r"ReadSchema: ([^\n]*)", p_pts)
+        if m and "html" not in m.group(1) and "url" in m.group(1) and "text" in m.group(1):
+            p_pts += "\n-- audit: html-pruned-scan (points derivation reads url+text only)\n"
+        if "EvalPython" not in p_pts:
+            p_pts += "-- audit: column-only-parse (no Python eval node; regexp+cast in codegen)\n"
+        sections.append(("points_from_pages (production extraction path)", p_pts, [
+            "html-pruned-scan",
+            "column-only-parse",
+        ]))
+
     # kNN: per-cell partial top-ks merge per QUERY in one
     # FlatMapGroupsInPandas (the associative reduce the partials were
     # designed for) — never a Window row_number over the full partial set
