@@ -129,10 +129,22 @@ def test_s2_cell_sql_matches_kernel():
     import duckdb
 
     rng = np.random.default_rng(11)
+    # ulp-adjacent sweeps around every face-boundary longitude and the
+    # lat=+-45 tie surfaces: both engines share bitwise-equal trig inputs
+    # (test_trig_bitwise_parity_with_duckdb), so even these cannot
+    # diverge — this guards that property against future kernel edits
+    edges = []
+    for b in (45.0, 135.0, -45.0, -135.0):
+        for v in (b, np.nextafter(b, -np.inf), np.nextafter(b, np.inf)):
+            edges.append((33.3, float(v)))
+    for la in (45.0, -45.0, np.nextafter(45.0, np.inf), np.nextafter(-45.0, -np.inf)):
+        edges.append((float(la), 0.0))
+    e_lat = np.asarray([e[0] for e in edges])
+    e_lon = np.asarray([e[1] for e in edges])
     lat = np.concatenate([rng.uniform(-90, 90, 4000),
-                          np.asarray([-90.0, 0.0, 45.0, -45.0, 89.9999])])
+                          np.asarray([-90.0, 0.0, 45.0, -45.0, 89.9999]), e_lat])
     lon = np.concatenate([rng.uniform(-180, 180, 4000),
-                          np.asarray([45.0, 135.0, -45.0, -135.0, 0.0])])
+                          np.asarray([45.0, 135.0, -45.0, -135.0, 0.0]), e_lon])
     want = s2.s2_cell_id(lat, lon, level=12)
     con = duckdb.connect()
     con.sql("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
