@@ -286,13 +286,11 @@ def main() -> None:
         # how many x above the quiet thresholds the slower snapshot sits:
         # <= 1.0 means QUIET (round-3's 0.45 was misread as sick — it is
         # the healthy direction); >= ~3 is the documented sick mode
-        "host_mem_contention_factor": round(max(
+        "host_mem_contention_factor": (mem_factor := round(max(
             5.0 / max(min(bw_before, bw_after), 1e-3),
-            1.0 / max(min(pt_before, pt_after), 1e-3)), 2),
+            1.0 / max(min(pt_before, pt_after), 1e-3)), 2)),
         # self-describing form of the same witness
-        "host_quiet": bool(max(
-            5.0 / max(min(bw_before, bw_after), 1e-3),
-            1.0 / max(min(pt_before, pt_after), 1e-3)) <= 1.0),
+        "host_quiet": bool(mem_factor <= 1.0),
         # seconds spent waiting for the page-touch witness to recover
         # before starting (bounded; 0 on a quiet host)
         "host_quiet_wait_s": waited_s,

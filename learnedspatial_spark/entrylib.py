@@ -241,10 +241,11 @@ def _corpus_clean_keeplist(spark, sf_dir):
     a quality floor.  Everything is built-in Column logic over the shared
     SQL fragments, so the whole pipeline has a DuckDB twin — the shape a
     100 TB pretraining-cleanup run takes (one scan, one dedup shuffle).
-    The rep groupBy keys on the md5 DIGEST (16 bytes/doc through the
-    exchange, never the text — dedup.dedup_exact's identity), and the
-    filters evaluate before the doc_id semijoin with only doc_id
-    projected, so no shuffle in the plan carries document text."""
+    The rep groupBy keys on the md5 DIGEST (hex form, 32 bytes/doc
+    through the exchange, never the text — dedup.dedup_exact's
+    identity), and the filters evaluate before the doc_id semijoin with
+    only doc_id projected, so no shuffle in the plan carries document
+    text."""
     docs = _docs(spark, sf_dir)
     rep = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
     kept = (docs.join(rep, ["doc_id"], "leftsemi")

@@ -24,10 +24,10 @@ from ..functions import sketches as sk
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups: (rep_doc_id, n_dups), representative =
-    min(doc_id).  One shuffle keyed by the 16-byte md5 DIGEST of the text
-    — never by the text itself: a text-keyed groupBy's exchange carries
-    one copy of every distinct document (~corpus bytes at 100 TB), while
-    the digest key shuffles 16 bytes per doc.  Digest equality is the
+    min(doc_id).  One shuffle keyed by the md5 DIGEST of the text (hex
+    form, 32 bytes/doc) — never by the text itself: a text-keyed
+    groupBy's exchange carries one copy of every distinct document
+    (~corpus bytes at 100 TB).  Digest equality is the
     standard dedup identity (an md5 collision would merge two distinct
     texts; at 2^-64-per-pair odds every production pipeline accepts it);
     the DuckDB twin mirrors the same md5 grouping."""

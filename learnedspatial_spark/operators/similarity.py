@@ -62,15 +62,17 @@ ALL_PAIRS_MAX_ROWS = 100_000
 
 def _guard_all_pairs(emb: DataFrame, what: str, force: bool) -> None:
     """Fail fast when an all-pairs validation twin is pointed at a corpus
-    too large for a cross join (one count job — cheap next to the join it
-    prevents).  ``force=True`` is the explicit operator override."""
+    too large for a cross join.  The probe is a LIMIT-bounded count —
+    CollectLimit short-circuits after ceiling+1 rows, so the guard itself
+    stays cheap on exactly the production-size inputs it exists to
+    refuse (a bare count() would scan the whole corpus first).
+    ``force=True`` is the explicit operator override."""
     if force:
         return
-    n = emb.count()
-    if n > ALL_PAIRS_MAX_ROWS:
+    if emb.limit(ALL_PAIRS_MAX_ROWS + 1).count() > ALL_PAIRS_MAX_ROWS:
         raise ValueError(
             f"{what} is the exact ALL-PAIRS validation twin (cross join, "
-            f"O(n^2)): refusing {n} rows > {ALL_PAIRS_MAX_ROWS}.  Use the "
+            f"O(n^2)): refusing > {ALL_PAIRS_MAX_ROWS} rows.  Use the "
             f"bucketed scale path (lsh_bucket_topk / ivf_topk / "
             f"embedding_neardup_lsh), or pass force=True to insist.")
 

@@ -179,9 +179,10 @@ def test_repetition_span_adversarial_cross_engine_parity(spark):
     for name, op in (("repetition_stats", corpus.repetition_stats),
                      ("span_dedup_stats", corpus.span_dedup_stats),
                      # word-level decontamination shares the tokenizer and
-                     # must survive the same adversarial whitespace (its
-                     # min_hits filter usually empties on these rows, so
-                     # compare with min_hits=1 semantics via the hit docs)
+                     # must survive the same adversarial whitespace (both
+                     # sides run the default min_hits=2; doc 4 shares two
+                     # vertical-tab-separated 3-grams with eval doc 7, so
+                     # the join is exercised non-trivially)
                      ("contamination_hits_words", corpus.contamination_hits_words)):
         got = sorted(tuple(r) for r in op(sdf).collect())
         want = sorted(tuple(r) for r in con.sql(entrylib.oracle_sql()[name]).fetchall())

@@ -105,13 +105,20 @@ def test_trig_bitwise_parity_with_duckdb():
     DuckDB twin (s2_cell_sql) is exact only because NumPy's and DuckDB's
     radians/sin/cos produce BITWISE IDENTICAL doubles on the corpus
     coordinates.  If either library changes rounding, this fails before
-    the driver gate does."""
+    the driver gate does.  Runs at the DRIVER'S GRADING SCALE (sf0.01 —
+    the guard must cover every coordinate the gate grades; a NumPy/DuckDB
+    rounding change on a value that exists only at sf0.01 would otherwise
+    surface as an opaque gate mismatch), env-overridable like the rest
+    of the suite — pure NumPy+DuckDB, no Spark, so 60k rows stay fast."""
+    import os
+
     import duckdb
 
     from learnedspatial_spark.sources.points import POINTS_CTE
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     con.sql("CREATE VIEW lineitem AS SELECT * FROM "
-            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+            f"read_parquet('{sf}/lineitem.parquet')")
     d = con.sql(
         f"WITH {POINTS_CTE} SELECT x, y, radians(x) AS rx, radians(y) AS ry, "
         "sin(radians(x)) AS sx, cos(radians(x)) AS cx, "
