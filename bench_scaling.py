@@ -254,6 +254,31 @@ def main() -> None:
         "level_witnesses": {str(c): res[c].get("witness") for c in res},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # one-off follow-up (range workload at 3x batch) — rendered from its
+    # checked-in JSON when present so report regeneration keeps it
+    range3x_note = ""
+    r3x_path = os.path.join(REPO, "BENCH", "range3x_r4.json")
+    if os.path.exists(r3x_path):
+        with open(r3x_path) as fh:
+            r3x = json.load(fh)
+        w4x, w16x = r3x["4"]["wall"], r3x["16"]["wall"]
+        fx = max(w4x - (w4x - w16x) * 16 / 3 / 4, 0.0)
+        range3x_note = f"""
+That prediction was then measured: re-running ONLY the range workload at
+a 3x batch ({r3x['4']['rects']:,} rectangles, same corpus and index) gave
+local[4] {w4x:.1f}s / local[16] {w16x:.1f}s — efficiency
+**{r3x['eff_4_to_16']:.2f}**, with the fixed term re-fitting at ~{fx:.1f}s
+(BENCH/range3x_r4.json).  Two facts follow.  (a) Efficiency rises with
+job size exactly as the decomposition predicts.  (b) 3x the queries cost
+only ~1.4x the compute — the vectorized per-cell kernels amortize
+queries against the shared candidate-run scan, so production-sized range
+batches are cheaper per query than this table's small one.  Witness
+caveat: the local[16] leg launched during a sick phase that cleared
+before its timed walls, and the local[4] leg ended in one (contamination
+can only inflate walls, i.e. overstate w4 and this ratio), so read
+{r3x['eff_4_to_16']:.2f} as directional support for the decomposition,
+not a fourth table row.
+"""
     w = {c: res[c]["walls"] for c in res}
     wit_parts = []
     for c in sorted(res):
@@ -299,7 +324,7 @@ smallest, so that term weighs hardest on its ratio — its compute term
 divides by parallelism as cleanly as the others.  On a real cluster the
 fixed term stays per-job (it does not grow with executors), so it
 shrinks relative to any production-sized range batch.
-
+{range3x_note}
 ### Why two pairs, and what they mean at cluster scale
 
 This sandbox runs ONE JVM (driver + executor threads + Arrow feeders) and
