@@ -472,24 +472,37 @@ def _tile_assign_s2(spark, sf_dir):
     return s2.assign_s2(points_df(spark, sf_dir)).select("pid", "cell_id")
 
 
+#: Watermark delay of the file-sink streaming entry — the SINGLE source of
+#: truth for both sides of the twin: the Spark entry renders it as the
+#: withWatermark string and the oracle SQL renders the same constant into
+#: its window filter, so the pairing cannot silently drift.
+STREAM_FILES_WATERMARK_S = 7200
+
+
 def _events_window_stream_files(spark, sf_dir):
     """The PRODUCTION streaming sink graded end-to-end: watermarked
     APPEND-mode parquet file sink (checkpointed, exactly-once) — emits a
     window exactly once, after the watermark passes its end, so the
     still-open tail windows are held back by design; the DuckDB twin is
     the batch aggregation FILTERED to windows the final watermark
-    (max event time - 2h) has passed.  Fresh sink/checkpoint dirs per
-    call (a reused checkpoint would skip the replay)."""
-    import atexit
+    (max event time - STREAM_FILES_WATERMARK_S) has passed.  Fresh
+    sink/checkpoint dirs per call (a reused checkpoint would skip the
+    replay); the window-aggregate-sized result is detached from the sink
+    driver-side so the tempdir is removed EAGERLY — repeated grading/bench
+    calls in one long driver session must not accumulate sink dirs."""
     import shutil
     import tempfile
 
     from .streaming.ingest import events_window_stats_stream_to_files
     d = tempfile.mkdtemp(prefix="lsp_stream_sink_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return events_window_stats_stream_to_files(
-        spark, f"{sf_dir}/events.parquet", f"{d}/out", f"{d}/ckpt",
-        watermark="2 hours")
+    try:
+        out = events_window_stats_stream_to_files(
+            spark, f"{sf_dir}/events.parquet", f"{d}/out", f"{d}/ckpt",
+            watermark=f"{STREAM_FILES_WATERMARK_S} seconds")
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _events_dedup_stream(spark, sf_dir):
@@ -1327,15 +1340,16 @@ def oracle_sql() -> dict[str, str]:
     out["events_dedup_stream"] = (
         "SELECT DISTINCT user_id, event_type FROM events")
     # append-mode file sink: the batch windows the FINAL watermark
-    # (max event time - 2h) has passed — a window is emitted exactly when
-    # its end <= watermark (Spark holds the open tail back by design;
-    # tests/test_pages.py proves both inclusion directions)
+    # (max event time - STREAM_FILES_WATERMARK_S) has passed — a window is
+    # emitted exactly when its end <= watermark (Spark holds the open tail
+    # back by design; tests/test_pages.py proves both inclusion
+    # directions).  The delay constant is shared with the Spark entry.
     out["events_window_stats_stream_files"] = (
         f"WITH b AS ({out['events_window_stats']}), "
         "mx AS (SELECT max(epoch(ts)) AS m FROM events) "
         "SELECT b.window_id AS window_id, b.event_type AS event_type, "
         "b.cnt AS cnt, b.vmin AS vmin, b.vmax AS vmax "
-        "FROM b, mx WHERE (b.window_id + 1) * 3600 <= mx.m - 7200")
+        f"FROM b, mx WHERE (b.window_id + 1) * 3600 <= mx.m - {STREAM_FILES_WATERMARK_S}")
     out["events_sessionize"] = (
         # Spark session_window semantics: an event extends its session's
         # window to ts+gap; the NEXT event joins iff its ts < that end, so

@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 
 from ..functions import sketches as sk
 
+#: Row ceiling for the opt-in driver-resident text map (``broadcast_texts``):
+#: that path drives ``toPandas()`` over the FULL corpus text — right for
+#: benchmark corpora, catastrophic pointed at a production table.  Mirrors
+#: similarity.ALL_PAIRS_MAX_ROWS / _guard_all_pairs.
+BROADCAST_TEXTS_MAX_ROWS = 100_000
+
+
+def _guard_broadcast_texts(docs: DataFrame, force: bool) -> None:
+    """Refuse to collect a production-size corpus to the driver.  The probe
+    is a LIMIT-bounded count (CollectLimit short-circuits after ceiling+1
+    rows, so the guard is cheap on exactly the inputs it refuses);
+    ``force=True`` is the explicit operator override."""
+    if force:
+        return
+    if docs.limit(BROADCAST_TEXTS_MAX_ROWS + 1).count() > BROADCAST_TEXTS_MAX_ROWS:
+        raise ValueError(
+            f"broadcast_texts=True collects the full (doc_id -> text) map "
+            f"to the driver: refusing > {BROADCAST_TEXTS_MAX_ROWS} rows.  "
+            f"Use the default join path (the 100 TB shape), or pass "
+            f"force=True to insist.")
+
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups: (rep_doc_id, n_dups), representative =
@@ -95,7 +116,7 @@ def bucket_pairs(bands_df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 16, ngram: int = 4, shingler: str = "token",
-                        broadcast_texts: bool = False) -> DataFrame:
+                        broadcast_texts: bool = False, force: bool = False) -> DataFrame:
     """Near-duplicate pairs: LSH candidates refined by exact shingle
     Jaccard >= threshold.  The refine re-shingles both sides of each
     candidate pair inside a pandas UDF — candidate count, not corpus count,
@@ -103,10 +124,13 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_perm: int =
 
     ``broadcast_texts``: ship the (doc_id -> text) map in the UDF closure
     instead of two text joins — right when the corpus fits the driver
-    (benchmark corpora); the join path is the 100 TB default.
+    (benchmark corpora); the join path is the 100 TB default.  Guarded by
+    a row ceiling (:func:`_guard_broadcast_texts`, ``force=True``
+    overrides) since it drives ``toPandas()`` over the full corpus text.
     """
     cand = minhash_candidates(docs, num_perm, bands, ngram, shingler)
     if broadcast_texts:
+        _guard_broadcast_texts(docs, force)
         txt_map = dict(docs.select("doc_id", "text").toPandas().itertuples(index=False, name=None))
 
         def refine_bc(it):

@@ -138,9 +138,15 @@ def s2_cell_sql(lat_expr: str, lon_expr: str, level: int = DEFAULT_LEVEL) -> str
     """DuckDB-SQL twin of :func:`s2_cell_id` — the same arithmetic, term
     for term, over engine-native ``radians``/``sin``/``cos`` (verified
     bitwise-equal to NumPy's on the corpus; module docstring).  Longitude
-    canonicalization is OMITTED: the corpus derivation yields lon in
-    [-180, 180) by construction, the range on which the kernel's wrap is
-    the identity — callers with out-of-range longitudes must wrap first.
+    canonicalization mirrors the kernel's conditional modulo wrap
+    (latlon_to_xyz) so out-of-range longitudes (540, -900, ...) resolve to
+    the SAME cell on both sides, not just corpus-range inputs: ``np.mod``
+    on floats is fmod plus a sign correction (add the divisor when the
+    nonzero remainder's sign differs), both IEEE-EXACT operations, so the
+    SQL renders exactly ``fmod(lon+180, 360) (+360 if < 0) - 180`` behind
+    the same in-range passthrough guard — bitwise-identical doubles in,
+    bitwise-identical doubles out (tests/test_s2.py property-tests 540 /
+    -900 / randoms through both sides).
 
     Rendering notes: float constants go through exact casts (DuckDB
     parses bare ``1.0`` as DECIMAL); ``(u + 1) / 2 * n`` keeps the
@@ -151,7 +157,13 @@ def s2_cell_sql(lat_expr: str, lon_expr: str, level: int = DEFAULT_LEVEL) -> str
         raise ValueError(f"level must be in 1..29, got {level}")
     one, two = "cast(1 as double)", "cast(2 as double)"
     n = 1 << level
-    la, lo = f"radians({lat_expr})", f"radians({lon_expr})"
+    c180, c360 = "cast(180 as double)", "cast(360 as double)"
+    fm = f"fmod(({lon_expr}) + {c180}, {c360})"
+    lon_wrapped = (
+        f"(CASE WHEN ({lon_expr}) >= {c180} OR ({lon_expr}) < -{c180} THEN "
+        f"(CASE WHEN {fm} < 0 THEN {fm} + {c360} ELSE {fm} END) - {c180} "
+        f"ELSE ({lon_expr}) END)")
+    la, lo = f"radians({lat_expr})", f"radians({lon_wrapped})"
     x3 = f"(cos({la}) * cos({lo}))"
     y3 = f"(cos({la}) * sin({lo}))"
     z3 = f"sin({la})"

@@ -60,21 +60,39 @@ def _cosine_guarded(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
 ALL_PAIRS_MAX_ROWS = 100_000
 
 
-def _guard_all_pairs(emb: DataFrame, what: str, force: bool) -> None:
+def _guard_all_pairs(emb: DataFrame, what: str, force: bool) -> DataFrame:
     """Fail fast when an all-pairs validation twin is pointed at a corpus
-    too large for a cross join.  The probe is a LIMIT-bounded count —
-    CollectLimit short-circuits after ceiling+1 rows, so the guard itself
-    stays cheap on exactly the production-size inputs it exists to
-    refuse (a bare count() would scan the whole corpus first).
-    ``force=True`` is the explicit operator override."""
+    too large for a cross join; returns the (possibly cached) input to use.
+
+    The probe is a LIMIT-bounded count — CollectLimit short-circuits after
+    ceiling+1 rows, so the guard stays cheap on exactly the
+    production-size inputs it exists to refuse (a bare count() would scan
+    the whole corpus first).  The probe is still one extra JOB over the
+    upstream plan, so unless the input is already cached it is persisted
+    FIRST: the probe's partial evaluation lands in the cache and the
+    cross join that follows (which rescans its build side per stream
+    partition anyway) reuses it instead of re-executing an arbitrarily
+    expensive upstream pipeline.  Anything that passes the guard is
+    <= ALL_PAIRS_MAX_ROWS rows, so the cache footprint is bounded by the
+    same ceiling.  ``force=True`` skips probe and cache untouched —
+    the explicit operator override."""
     if force:
-        return
-    if emb.limit(ALL_PAIRS_MAX_ROWS + 1).count() > ALL_PAIRS_MAX_ROWS:
+        return emb
+    cached_here = False
+    if emb.storageLevel.useMemory or emb.storageLevel.useDisk:
+        probe = emb  # caller already manages caching
+    else:
+        probe = emb.persist()
+        cached_here = True
+    if probe.limit(ALL_PAIRS_MAX_ROWS + 1).count() > ALL_PAIRS_MAX_ROWS:
+        if cached_here:
+            probe.unpersist()
         raise ValueError(
             f"{what} is the exact ALL-PAIRS validation twin (cross join, "
             f"O(n^2)): refusing > {ALL_PAIRS_MAX_ROWS} rows.  Use the "
             f"bucketed scale path (lsh_bucket_topk / ivf_topk / "
             f"embedding_neardup_lsh), or pass force=True to insist.")
+    return probe
 
 
 def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -83,7 +101,7 @@ def brute_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     (query_id, qvec array<float/double>).  Broadcast the query side —
     candidate side streams; one window per query for top-k.  Guarded
     against production-size corpora (see :func:`_guard_all_pairs`)."""
-    _guard_all_pairs(emb, "brute_cosine_topk", force)
+    emb = _guard_all_pairs(emb, "brute_cosine_topk", force)
     e = emb.withColumn("n2e", _sq_norm_col("embedding"))
     q = queries.withColumn("n2q", _sq_norm_col("qvec"))
     j = e.crossJoin(F.broadcast(q))
@@ -114,7 +132,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     candidates (``lsh_bucket_topk`` machinery) or IVF cluster-local pairs
     (``ivf_topk`` assignment) so only same-bucket pairs are scored.
     Guarded against production-size corpora (see :func:`_guard_all_pairs`)."""
-    _guard_all_pairs(emb, "embedding_neardup_pairs", force)
+    emb = _guard_all_pairs(emb, "embedding_neardup_pairs", force)
     e = emb.select("vec_id", "embedding", _sq_norm_col("embedding").alias("n2"))
     a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"),
                  F.col("n2").alias("n2a"))

@@ -452,3 +452,38 @@ def test_all_pairs_twins_guarded_at_scale(spark):
     # under the ceiling: untouched
     small = big.limit(5)
     assert similarity.brute_cosine_topk(small, q, k=1).count() == 1
+
+
+def test_broadcast_texts_guarded_at_scale(spark):
+    """ADVICE r4 / VERDICT r4 #8: the broadcast_texts opt-in drives
+    toPandas() over the full corpus text — it must refuse a corpus above
+    BROADCAST_TEXTS_MAX_ROWS unless forced, mirroring _guard_all_pairs."""
+    from learnedspatial_spark.operators import dedup as dd
+    big = spark.range(dd.BROADCAST_TEXTS_MAX_ROWS + 1).select(
+        F.col("id").alias("doc_id"), F.lit("same text here").alias("text"))
+    with pytest.raises(ValueError, match="broadcast_texts"):
+        dd.minhash_dedup_pairs(big, broadcast_texts=True)
+    # small corpora and the default join path stay functional
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dd.minhash_dedup_pairs(small, broadcast_texts=True,
+                                           ngram=2).collect()}
+    assert got == {(1, 2)}
+
+
+def test_guard_all_pairs_caches_passing_input(spark):
+    """ADVICE r4: the guard probe is one extra job over the upstream plan;
+    a passing input must come back persisted so the probe's work is reused
+    by the cross join instead of re-executing the upstream pipeline."""
+    from learnedspatial_spark.operators import similarity
+    df = spark.range(10).select(F.col("id").alias("vec_id"))
+    out = similarity._guard_all_pairs(df, "test", force=False)
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    out.unpersist()
+    # force=True skips probe AND cache
+    out2 = similarity._guard_all_pairs(df, "test", force=True)
+    assert not (out2.storageLevel.useMemory or out2.storageLevel.useDisk)

@@ -159,3 +159,32 @@ def test_s2_cell_sql_matches_kernel():
     got = con.sql(
         f"SELECT {s2.s2_cell_sql('p.x', 'p.y', 12)} AS c FROM pts p").fetchnumpy()["c"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_s2_cell_sql_wraps_out_of_range_longitudes():
+    """VERDICT r4 #6: the SQL twin applies the kernel's own modulo wrap, so
+    out-of-range longitudes (540, -900, multiple wraps, ulp-adjacent to the
+    +-180 guard) resolve to the same cell on both sides — no input-domain
+    asymmetry between s2_cell_id and s2_cell_sql.  In-range values must
+    keep passing through UNCHANGED (same doubles as before the wrap)."""
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    lon = np.concatenate([
+        np.asarray([540.0, -900.0, 180.0, -180.0, 360.0, -360.0, 720.5,
+                    np.nextafter(180.0, np.inf), np.nextafter(-180.0, -np.inf),
+                    np.nextafter(180.0, -np.inf)]),
+        rng.uniform(-2000, 2000, 3000),
+    ])
+    lat = np.concatenate([np.full(10, 12.5), rng.uniform(-90, 90, 3000)])
+    want = s2.s2_cell_id(lat, lon, level=12)
+    # sanity of the property itself: each wrapped lon equals its canonical
+    # spelling's cell (540 == 180 == -180 meridian)
+    assert s2.s2_cell_id(np.asarray([12.5]), np.asarray([540.0]))[0] == \
+        s2.s2_cell_id(np.asarray([12.5]), np.asarray([-180.0]))[0]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pts AS SELECT * FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
+            params=[lat.tolist(), lon.tolist()])
+    got = con.sql(
+        f"SELECT {s2.s2_cell_sql('p.x', 'p.y', 12)} AS c FROM pts p").fetchnumpy()["c"]
+    np.testing.assert_array_equal(got, want)
