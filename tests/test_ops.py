@@ -197,7 +197,8 @@ def test_embedding_neardup_lsh_bucketed_subset(spark):
 
 
 def test_multimodal_codecs_roundtrip():
-    """Real decoders: BMP and WAV byte-level round trips."""
+    """Real decoders: BMP, WAV, and uncompressed-AVI byte-level round
+    trips, plus the AVI closed-form byte size the oracle renders."""
     import numpy as np
 
     from learnedspatial_spark.operators import multimodal as mm
@@ -209,6 +210,19 @@ def test_multimodal_codecs_roundtrip():
     samples = rng.integers(-30000, 30000, size=333).astype(np.int16)
     got, rate = mm.decode_wav(mm.encode_wav(samples, 8000))
     assert rate == 8000 and np.array_equal(got, samples)
+    # AVI: random frames round-trip exactly; size matches the closed form
+    for n, w, h in [(1, 1, 1), (3, 17, 13), (4, 16, 12), (2, 21, 9)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        payload = mm.encode_avi(fr, fps=4)
+        assert len(payload) == mm.avi_size_bytes(n, w, h), (n, w, h)
+        got_fr, got_fps = mm.decode_avi(payload)
+        assert got_fps == 4 and np.array_equal(got_fr, fr)
+    # the compressed-chunk stub point raises, as documented
+    compressed = bytearray(mm.encode_avi(fr, fps=4))
+    i = bytes(compressed).find(b"00db")
+    compressed[i:i + 4] = b"00dc"
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(bytes(compressed))
 
 
 def test_multimodal_real_decode_features(spark):
@@ -226,13 +240,35 @@ def test_multimodal_real_decode_features(spark):
         elif r["media_type"] == "audio/wav":
             assert r["width"] == did % 100 + 1 and r["height"] == 8000
             assert r["mean_v"] == float(did % 20000 - 10000)
+        elif r["media_type"] == "video/avi":
+            # real demux+decode: dims and the exact whole-video mean
+            assert r["width"] == did % 8 + 16 and r["height"] == did % 6 + 12
+            n = did % 4 + 1
+            s = sum((did + 11 * f) % 256 + (did * 7 + 23 * f) % 256
+                    + (did * 13 + 37 * f) % 256 for f in range(n))
+            assert r["mean_v"] == s / (3.0 * n)
+            assert r["n_bytes"] == multimodal.avi_size_bytes(
+                n, did % 8 + 16, did % 6 + 12)
         else:  # honest stub: compressed video has no decoder
+            assert r["media_type"] == "video/mp4" and did % 12 == 2
             assert (r["width"], r["height"], r["mean_v"]) == (-1, -1, -1.0)
     # deterministic across runs
     rows2 = multimodal.extract_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     frames = multimodal.frame_sample_plan(media).groupBy("doc_id").count().collect()
     assert len(frames) > 0
+    # per-frame decoded features: every AVI frame's closed-form solid color
+    ff = multimodal.video_frame_features(media).collect()
+    n_avi_docs = sum(1 for r in rows if r["media_type"] == "video/avi")
+    assert {r["doc_id"] for r in ff} == {
+        r["doc_id"] for r in rows if r["media_type"] == "video/avi"}
+    assert len(ff) == sum(r["doc_id"] % 4 + 1 for r in rows
+                          if r["media_type"] == "video/avi") and n_avi_docs > 0
+    for r in ff:
+        did, f = r["doc_id"], r["frame_idx"]
+        s = ((did + 11 * f) % 256 + (did * 7 + 23 * f) % 256
+             + (did * 13 + 37 * f) % 256)
+        assert r["mean_v"] == s / 3.0 and r["frame_ts_ms"] == f * 250
 
 
 def test_lsh_ann_recall(spark):
