@@ -188,8 +188,17 @@ def learned_searchsorted(
     spline: estimate, then repair within an expanding window.
 
     Replaces the reference's over/under-shot linear repair scans
-    (Spline.hpp:476-520) with window-bounded binary repair — identical
-    output indices by construction.
+    (Spline.hpp:476-520) with window-bounded repair — identical output
+    indices by construction.  The repair is a VECTORIZED BISECTION of
+    each query's window (log2(2w) lock-step rounds, every round one
+    gathered value per query) rather than a gathered (queries x 2w)
+    rank count: the window's ~9 cache lines are hot after round one, so
+    per-lookup traffic is a few L1/L2 hits instead of a 2w-wide gather
+    materializing (P x 2w) index/value/mask temporaries — measured ~5x
+    faster, and it is what makes the learned kernel BEAT vectorized full
+    binary search at >= 1M-row cells (BENCH/BASELINE.md kernel table):
+    full binary search walks log2(n) DRAM-missing probes on a big array
+    while the spline walk stays inside knots (small) + one eps-window.
     """
     n = y_sorted.shape[0]
     q = np.asarray(q, dtype=np.float64)
@@ -204,24 +213,25 @@ def learned_searchsorted(
     while pending.size:
         lo = np.maximum(est[pending] - w, 0)
         hi = np.minimum(est[pending] + w, n)
-        # vectorized windowed rank: gather each query's window rows and
-        # count values < q (left) / <= q (right) — the windows are tiny
-        # (2w), so this is one (P x 2w) comparison instead of a Python
-        # loop of np.searchsorted calls per query
-        span = 2 * w
-        idx = lo[:, None] + np.arange(span)[None, :]
-        valid = idx < hi[:, None]
-        idx = np.minimum(idx, n - 1)
-        vals = y_sorted[idx]
-        qq = q[pending][:, None]
-        cmp = (vals < qq) if side == "left" else (vals <= qq)
-        pos = lo + np.count_nonzero(cmp & valid, axis=1)
+        qq = q[pending]
+        left, right = lo.copy(), hi.copy()
+        while True:
+            active = left < right
+            if not active.any():
+                break
+            mid = (left + right) >> 1
+            # inactive lanes can hold mid == n (left == right == n): clamp
+            # for the gather; their compare result is discarded anyway
+            v = y_sorted[np.minimum(mid, n - 1)]
+            go = (v < qq) if side == "left" else (v <= qq)
+            left = np.where(active & go, mid + 1, left)
+            right = np.where(active & ~go, mid, right)
+        pos = left
         # the bound is certain iff interior to the window, or the window
         # already touches the array edge on that side
         ok = ((pos > lo) | (lo == 0)) & ((pos < hi) | (hi == n))
         out[pending] = pos
         pending = pending[~ok]
-        est[pending] = np.clip(est[pending], 0, n - 1)
         w *= 4
         if w > 4 * n:
             # window covers everything: exact by construction
