@@ -62,3 +62,27 @@ def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_grading_window_matches_rotation_docstring():
+    """The driver grades the FIRST 50 queries() keys; the round-5 rotation
+    (queries() docstring) pins exactly which entries are inside.  This
+    fails if a future edit silently reorders the window or drops a twin."""
+    q = list(QUERIES)
+    window = set(q[:50])
+    assert len(q) == len(set(q)) == 72
+    must_be_in = {
+        "events_late_drop_stream", "multimodal_frame_plan",  # new in r5
+        "dup_stats", "bbox", "points_decimated", "scan_overhead_fixed_grid",
+        "range_count_fixed_grid_salted", "events_json_kv",  # rotated back
+        "multimodal_features", "multimodal_frames",  # re-graded (AVI shape)
+    }
+    must_be_out = {
+        "contamination_hits", "events_window_stats_stream",
+        "embedding_neardup_pairs", "ann_cosine_topk", "ngram_jaccard_pairs",
+        "distance_materialize_tiled", "pip_pairs_tiled", "morton_rollup",
+    }
+    assert must_be_in <= window, must_be_in - window
+    assert not (must_be_out & window), must_be_out & window
+    # every key has a DuckDB twin (the rows-only tier stays empty)
+    assert set(q) == set(ORACLES)

@@ -129,6 +129,11 @@ def test_overwrite_partitions_snapshot_isolated_crash_resume(spark, tmp_path):
 
     # --- no uncommitted files survive the completed overwrite
     assert storage.vacuum_uncommitted(path, "cell_id") == 0
-    # committed reads still prune on the partition column
+    # committed reads still prune on the partition column: the snapshot
+    # file list + basePath must keep hive partition recovery, so the cell
+    # predicate lands in PartitionFilters, not a post-scan Filter
     q = storage.read_committed(spark, path, "cell_id").where(F.col("cell_id") == 3)
+    plan = _explain(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln and "3" in ln for ln in pf), pf
     assert q.count() == 100
