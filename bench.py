@@ -162,6 +162,9 @@ def main() -> None:
     from learnedspatial_spark.streaming.ingest import events_dedup_stream
     timed("q_events_dedup_stream", lambda: events_dedup_stream(
         spark, f"{sf_dir}/events.parquet").count())
+    from learnedspatial_spark.streaming.ingest import events_window_stats_late_drop
+    timed("q_events_late_drop_stream", lambda: events_window_stats_late_drop(
+        spark, f"{sf_dir}/events.parquet").count())
     timed("q_knn", lambda: eng.knn(knnq).collect())
     timed("q_tile_assignment", lambda: eng.tile_assignment().count())
     from learnedspatial_spark.operators import s2 as s2mod
@@ -208,6 +211,10 @@ def main() -> None:
     # expressions (and span's occurrence window) out of the timed plan
     timed("q_repetition_stats", lambda: corpus.repetition_stats(docs).collect())
     timed("q_span_dedup", lambda: corpus.span_dedup_stats(docs).collect())
+    from learnedspatial_spark.operators import multimodal
+    media = multimodal.attach_fake_media(docs)
+    timed("q_video_frame_features",
+          lambda: multimodal.video_frame_features(media).count())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = similarity.query_vectors(spark, sf_dir, n=8)
     timed("q_ann_cosine_topk", lambda: similarity.brute_cosine_topk(emb, q, k=10).count())

@@ -102,6 +102,10 @@ jobs = {{
     "distance_join": lambda: eng.distance_count(circles).collect(),
     "range_count": lambda: eng.range_count(rects).collect(),
 }}
+only = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
+if only:
+    keep = set(only.split(","))
+    jobs = {{k: v for k, v in jobs.items() if k in keep}}
 for j in jobs.values():
     j()  # warm python worker pool + shuffle reuse
 best = {{}}

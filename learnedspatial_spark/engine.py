@@ -377,17 +377,45 @@ class SpatialEngine:
                 m.setdefault(int(c), []).append(qi)
         return m
 
+    def _rect_candidates_flat(self, rects: list[tuple]) -> tuple[np.ndarray, np.ndarray]:
+        """Flat (cell, query_idx) candidate pairs for a rectangle batch —
+        the vectorized form of the `_cell_query_map` loop.  Fixed grid
+        routes the whole batch in closed-form array arithmetic (no
+        per-query Python: the scalar loop measured ~1.9s of SERIAL
+        driver time per job at 18k rectangles — a fixed term that capped
+        the range workload's measured N->4N scaling at 0.61 before this
+        round-5 fix); tree schemes keep the per-query kernel and flatten
+        its outputs."""
+        from .operators import probes
+        p = self.partitioner
+        if isinstance(p, STRPartitioner):
+            self.cell_stats()
+        if isinstance(p, FixedGridPartitioner):
+            arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
+                             dtype=np.float64).reshape(len(rects), 4)
+            lo, hi = p.rect_cell_ranges(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+            return probes.flatten_ranges(lo, hi)
+        return probes.flatten_cell_lists(
+            [p.cells_for_rect(r[1], r[2], r[3], r[4]) for r in rects])
+
     # ---------------------------------------------------------- range Qs ---
 
     def _range_probe(self, rects: list[tuple], materialize: bool,
-                     cellmap: dict[int, list[int]] | None = None) -> DataFrame:
+                     routing: tuple | None = None) -> DataFrame:
         refine = self.refine
         # pre-fit knots index the FULL cell's sorted order — unusable for
         # salted sub-groups, so fall back to in-probe fit when salting;
         # shipped as a broadcast, not a closure capture (O(#cells) payload)
         models_bc = self._models_broadcast() if not self.salt_rows else None
-        if cellmap is None:
-            cellmap = self._cell_query_map(rects)
+        from .operators import probes as _probes
+        if routing is None:
+            routing = _probes.compact_routing(*self._rect_candidates_flat(rects))
+        # columnar routing table rides a BROADCAST, not the task closure: a
+        # production batch's (cell, query) pairs are MBs — as closure state
+        # they would be re-pickled into the plan per job and re-unpickled
+        # per task (measured 0.3s/task at 18k rects); as int64 arrays in a
+        # broadcast they ship once and load once per worker
+        routing_bc = self.spark.sparkContext.broadcast(routing)
         q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
         qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         if materialize:
@@ -399,10 +427,10 @@ class SpatialEngine:
 
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
-            qidx = cellmap.get(cell)
+            qidx = probes.routing_lookup(routing_bc.value, cell)
             empty = pd.DataFrame({c.split()[0]: pd.Series(dtype="int64" if "bigint" in c else "float64")
                                   for c in schema.split(", ")})
-            if not qidx:
+            if qidx is None or qidx.size == 0:
                 return empty
             swap_x = refine == "binsearch_x"
             if swap_x:
@@ -448,7 +476,7 @@ class SpatialEngine:
                 cnt = probes.range_count_cell(xs, ys, fx, fy, tx, ty, knots)
             return pd.DataFrame({"query_id": qids[qi], "cnt": cnt})
 
-        gdf, keys = self._probe_groups(cellmap)
+        gdf, keys = self._probe_groups(routing[0])
         parts = gdf.groupBy(*keys).applyInPandas(probe, schema=schema)
         return parts
 
@@ -462,17 +490,21 @@ class SpatialEngine:
         the O(#cells) stats table with no data touched; only boundary
         cells enter the distributed probe.  For broad rectangles this
         removes most of the scan (a whole-domain query probes nothing)."""
-        from .operators.probes import split_contained_counts
+        from .operators import probes
         s = self.cell_stats()  # also fills STR MBRs for cells_for_rect
-        cells_per_query = [self.partitioner.cells_for_rect(r[1], r[2], r[3], r[4])
-                           for r in rects]
-        base, boundary = split_contained_counts(
-            rects, cells_per_query, s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
-        parts = self._range_probe(rects, materialize=False, cellmap=boundary)
+        rects_arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
+                               dtype=np.float64).reshape(len(rects), 4)
+        cells_flat, qidx_flat = self._rect_candidates_flat(rects)
+        base, boundary = probes.route_contained(
+            rects_arr, cells_flat, qidx_flat,
+            s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
+        parts = self._range_probe(rects, materialize=False, routing=boundary)
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
-        qdf = self.spark.createDataFrame(
-            [(r[0], int(base[i])) for i, r in enumerate(rects)],
-            "query_id bigint, base bigint")
+        # Arrow-path local frame (a Python row list re-pickles per job and
+        # costs ~0.5s at 18k queries)
+        qdf = self.spark.createDataFrame(pd.DataFrame(
+            {"query_id": np.asarray([r[0] for r in rects], dtype=np.int64),
+             "base": base}))
         return (
             qdf.join(agg, "query_id", "left")
             .select("query_id",

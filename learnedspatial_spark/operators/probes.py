@@ -77,6 +77,90 @@ def contained_mask(xs_sorted, ys_sorted, fx, fy, tx, ty) -> np.ndarray:
             & (fy <= ys_sorted.min()) & (ty >= ys_sorted.max()))
 
 
+def flatten_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Expand per-query inclusive cell ranges [lo_i, hi_i] (hi < lo =
+    empty) into flat (cells, query_idx) pairs with NO per-query Python
+    loop — the driver-side routing cost at a production batch is linear
+    NumPy, not 10^4 iterations of ``cells_for_rect`` (measured 1.9s of
+    per-job serial time at 18k rectangles, the round-5 range-leg fix)."""
+    lens = np.maximum(hi - lo + 1, 0).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    starts = np.repeat(lo, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    qidx = np.repeat(np.arange(lo.shape[0], dtype=np.int64), lens)
+    return starts + within, qidx
+
+
+def flatten_cell_lists(cells_per_query) -> tuple[np.ndarray, np.ndarray]:
+    """Generic fallback of :func:`flatten_ranges` for partitioners whose
+    candidate sets are not contiguous ranges (tree schemes)."""
+    lens = np.asarray([len(c) for c in cells_per_query], dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    cells = np.concatenate([np.asarray(c, dtype=np.int64) for c in cells_per_query if len(c)])
+    qidx = np.repeat(np.arange(len(cells_per_query), dtype=np.int64), lens)
+    return cells, qidx
+
+
+def compact_routing(cells_flat: np.ndarray, qidx_flat: np.ndarray):
+    """(cells, qidx) pairs -> (unique_cells_sorted, offsets, qidx_grouped):
+    the broadcastable columnar routing table.  Probe-side lookup is one
+    ``searchsorted`` + one slice; per-cell query order stays ascending
+    (stable sort over flatten order), matching the old dict-of-lists."""
+    order = np.argsort(cells_flat, kind="stable")
+    # query indices ride int32: a routing table is O(candidate pairs) and
+    # ships in a broadcast — at 18k hi-tier rects that is 4.7M entries,
+    # 37 MB as int64 vs 18 MB as int32 (batch sizes stay far below 2^31)
+    cs, qs = cells_flat[order], qidx_flat[order].astype(np.int32)
+    if cs.size == 0:
+        return cs, np.zeros(1, dtype=np.int64), qs
+    cut = np.flatnonzero(np.diff(cs)) + 1
+    cells_u = cs[np.concatenate([[0], cut])]
+    offsets = np.concatenate([[0], cut, [cs.size]]).astype(np.int64)
+    return cells_u, offsets, qs
+
+
+def routing_lookup(routing, cell: int) -> np.ndarray | None:
+    """Probe-side lookup into a :func:`compact_routing` table."""
+    cells_u, offsets, qs = routing
+    i = int(np.searchsorted(cells_u, cell))
+    if i >= cells_u.shape[0] or cells_u[i] != cell:
+        return None
+    return qs[offsets[i]:offsets[i + 1]]
+
+
+def route_contained(rects_arr: np.ndarray, cells_flat: np.ndarray,
+                    qidx_flat: np.ndarray, ids, minx, miny, maxx, maxy, count):
+    """Vectorized O3-at-routing split over the FLAT (cell, query) pairs:
+    contained cells accumulate cached counts into ``base`` (one
+    ``np.add.at``), boundary pairs compact into the broadcastable routing
+    table — zero per-query Python.  Same semantics as the historical
+    dict-building loop (candidate ids with no stats row are dropped)."""
+    nq = rects_arr.shape[0]
+    base = np.zeros(nq, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    empty = (np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64),
+             np.empty(0, dtype=np.int64))
+    if ids.size == 0 or cells_flat.size == 0:
+        return base, empty
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    pos = np.minimum(np.searchsorted(ids_sorted, cells_flat), ids_sorted.size - 1)
+    ok = ids_sorted[pos] == cells_flat
+    si = order[pos[ok]]
+    qf = qidx_flat[ok]
+    cf = cells_flat[ok]
+    minx = np.asarray(minx); miny = np.asarray(miny)
+    maxx = np.asarray(maxx); maxy = np.asarray(maxy)
+    count = np.asarray(count, dtype=np.int64)
+    contained = ((rects_arr[qf, 0] <= minx[si]) & (rects_arr[qf, 2] >= maxx[si])
+                 & (rects_arr[qf, 1] <= miny[si]) & (rects_arr[qf, 3] >= maxy[si]))
+    np.add.at(base, qf[contained], count[si[contained]])
+    return base, compact_routing(cf[~contained], qf[~contained])
+
+
 def split_contained_counts(rects, cells_per_query, ids, minx, miny, maxx, maxy, count):
     """O3 shortcut applied at ROUTING, vectorized over each query's
     candidate-cell array: cells whose data bbox lies fully inside query
@@ -88,28 +172,13 @@ def split_contained_counts(rects, cells_per_query, ids, minx, miny, maxx, maxy, 
     build is O(perimeter) for such rects.  Candidate ids with no stats
     row (no data) are dropped.  Shared by the in-session and tiled
     engines so the two paths cannot drift."""
-    ids = np.asarray(ids, dtype=np.int64)
-    base = np.zeros(len(rects), dtype=np.int64)
-    boundary: dict[int, list[int]] = {}
-    if ids.size == 0:
-        return base, boundary
-    order = np.argsort(ids)
-    ids_sorted = ids[order]
-    minx = np.asarray(minx); miny = np.asarray(miny)
-    maxx = np.asarray(maxx); maxy = np.asarray(maxy)
-    count = np.asarray(count, dtype=np.int64)
-    for qi, (_, fx, fy, tx, ty) in enumerate(rects):
-        cells = np.asarray(cells_per_query[qi], dtype=np.int64)
-        if cells.size == 0:
-            continue
-        pos = np.minimum(np.searchsorted(ids_sorted, cells), ids_sorted.size - 1)
-        ok = ids_sorted[pos] == cells
-        si = order[pos[ok]]
-        contained = ((fx <= minx[si]) & (tx >= maxx[si])
-                     & (fy <= miny[si]) & (ty >= maxy[si]))
-        base[qi] = int(count[si[contained]].sum())
-        for c in cells[ok][~contained].tolist():
-            boundary.setdefault(int(c), []).append(qi)
+    rects_arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
+                           dtype=np.float64).reshape(len(rects), 4)
+    cells_flat, qidx_flat = flatten_cell_lists(cells_per_query)
+    base, (cells_u, offsets, qs) = route_contained(
+        rects_arr, cells_flat, qidx_flat, ids, minx, miny, maxx, maxy, count)
+    boundary = {int(c): qs[offsets[i]:offsets[i + 1]].tolist()
+                for i, c in enumerate(cells_u)}
     return base, boundary
 
 
