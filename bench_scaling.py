@@ -236,9 +236,10 @@ def main() -> None:
     prepare_input(sf_dir)
     from_json = os.environ.get("SPARK_GRAFT_SCALE_FROM_JSON")
     if from_json:
-        # regenerate the report (and re-run the driver-side kernel bench)
-        # from a previously captured run — the Spark walls are 30 minutes
-        # of idle-machine time; the report shouldn't cost that to re-render
+        # regenerate the report from a previously captured run — the Spark
+        # walls are 30 minutes of idle-machine time; the report shouldn't
+        # cost that to re-render (the kernel sweep is reused too when the
+        # capture carries one)
         with open(from_json) as f:
             prior = json.load(f)
         res = {int(c): {"walls": w, "rows": prior["rows"],
@@ -267,7 +268,13 @@ def main() -> None:
         return f, c
     rows = res[16]["rows"]
     tiers = res[32].get("tiers", {})
-    kern = kernel_lookup_bench(SCALE_INPUT)
+    if from_json and prior.get("kernel_ns_per_lookup"):
+        # reuse the captured kernel sweep: it was measured under quiet
+        # witnesses; re-measuring during a report re-render would splice
+        # possibly-contaminated numbers into an otherwise-witnessed table
+        kern = prior["kernel_ns_per_lookup"]
+    else:
+        kern = kernel_lookup_bench(SCALE_INPUT)
     result = {
         "metric": "scaling efficiency N -> 4N (same input, identical job)",
         "rows": rows,
