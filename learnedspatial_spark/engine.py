@@ -51,6 +51,10 @@ from .sources import points as points_src
 
 DEFAULT_PARTITION_SIZE = 1000  # src/main.cpp:60-65
 MAX_CELLS_DEFAULT = 1_000_000
+#: Candidate-cell pruning switches from InSet literals to a broadcast
+#: left-semi join above this count (plan size stays bounded regardless
+#: of how many cells a production batch routes to).
+ISIN_MAX_CELLS = 10_000
 
 
 def effective_partition_size(n: int, partition_size: int, max_cells: int) -> int:
@@ -318,7 +322,20 @@ class SpatialEngine:
             total = max(1, self.partitioner.num_cells())
             cells = [int(c) for c in candidate_cells]
             if len(cells) < 0.5 * total:
-                df = df.where(F.col("cell_id").isin(cells))
+                if len(cells) <= ISIN_MAX_CELLS:
+                    df = df.where(F.col("cell_id").isin(cells))
+                else:
+                    # a 100 TB corpus at partition_size=8000 has ~10^7
+                    # cells; a selective batch can still route to 10^5+ —
+                    # as InSet literals that many constants bloat the plan
+                    # (analysis/codegen cost grows with the literal list),
+                    # so large sets prune via a broadcast LEFT SEMI join
+                    # instead.  BroadcastHashJoin preserves the probe
+                    # side's cached hash-partitioning on cell_id, so the
+                    # downstream applyInPandas still runs exchange-free.
+                    cdf = self.spark.createDataFrame(
+                        pd.DataFrame({"cell_id": np.asarray(cells, dtype=np.int64)}))
+                    df = df.join(F.broadcast(cdf), "cell_id", "left_semi")
         return df, keys
 
     def model_table(self) -> DataFrame:

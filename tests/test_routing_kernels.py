@@ -138,3 +138,45 @@ def test_route_contained_empty_inputs():
         rects, e, e, e, e, e, e, e, e)
     assert base.tolist() == [0, 0, 0]
     assert cells_u.size == 0 and qs.size == 0 and offsets.tolist() == [0]
+
+
+def test_large_candidate_set_prunes_via_broadcast_semi_join(spark, sf_dir, monkeypatch):
+    """Above ISIN_MAX_CELLS the probe pruning switches from InSet literals
+    to a broadcast left-semi join; results are identical and the probe
+    input still reaches applyInPandas without a fresh exchange (the
+    BroadcastHashJoin preserves the cached hash-partitioning)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from learnedspatial_spark import engine as eng_mod
+    from learnedspatial_spark.engine import SpatialEngine
+    from learnedspatial_spark.sources import workloads as wl
+
+    import re
+
+    rects = wl.rectangles(n_per_tier=4)
+    eng = SpatialEngine(spark, sf_dir, scheme="fixed_grid",
+                        refine="binsearch", partition_size=200)
+    want = {r["query_id"]: r["cnt"] for r in eng.range_count(rects).collect()}
+
+    monkeypatch.setattr(eng_mod, "ISIN_MAX_CELLS", 0)  # force the join path
+    eng2 = SpatialEngine(spark, sf_dir, scheme="fixed_grid",
+                         refine="binsearch", partition_size=200)
+    got = {r["query_id"]: r["cnt"] for r in eng2.range_count(rects).collect()}
+    assert got == want
+
+    # a genuinely selective candidate set (the 0.5-of-total gate must let
+    # the pruning run) routed through the forced join path
+    n_sel = max(1, eng2.partitioner.num_cells() // 4)
+    pruned, _ = eng2._probe_groups(np.arange(n_sel, dtype=np.int64))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the semi join must not add a corpus shuffle: the only shuffle
+    # Exchange is the engine's one cell-keyed repartition (Catalyst even
+    # pushes the semi join BELOW it, so pruning happens pre-shuffle, same
+    # as the InSet filter path), plus the tiny BroadcastExchange
+    assert len(re.findall(r"\n\s*(?:[:+]- )?Exchange \(\d+\)", plan)) == 1
+    assert "BroadcastExchange" in plan
