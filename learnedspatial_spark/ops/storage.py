@@ -73,12 +73,17 @@ def _snapshot_path(path: str) -> str:
 
 def load_snapshot(path: str) -> dict:
     """The committed state: {partition_dirname: [data file names]} plus a
-    monotonically increasing version.  Absent snapshot = empty table."""
+    monotonically increasing version and the ``superseded`` retention list
+    ("dir/file" paths replaced by a later commit but kept on disk for
+    in-flight readers of the prior snapshot — Iceberg's old-snapshot data
+    files before ``expireSnapshots``).  Absent snapshot = empty table."""
     p = _snapshot_path(path)
     if not os.path.exists(p):
-        return {"version": 0, "partitions": {}}
+        return {"version": 0, "partitions": {}, "superseded": []}
     with open(p) as f:
-        return json.load(f)
+        snap = json.load(f)
+    snap.setdefault("superseded", [])
+    return snap
 
 
 def _commit_snapshot(path: str, snap: dict) -> None:
@@ -104,19 +109,41 @@ def _list_data_files(path: str, partition_col: str) -> dict[str, list[str]]:
 
 
 def vacuum_uncommitted(path: str, partition_col: str) -> int:
-    """Delete every data file the snapshot does not reference — orphans
-    from a crashed (uncommitted) overwrite, or files superseded by a
-    later commit.  Safe at any time because committed readers only list
-    snapshot files; returns #files removed.  A resumed overwrite calls
-    this first, making the retry idempotent."""
+    """Delete every data file NO snapshot ever referenced — orphans from
+    a crashed (uncommitted) overwrite.  Files superseded by a later
+    commit are NOT touched (they sit on the snapshot's ``superseded``
+    retention list; a reader that resolved the prior snapshot still lists
+    them — reclaim those with :func:`expire_superseded`).  Safe at any
+    time because orphans were never visible to any committed reader;
+    returns #files removed.  A resumed overwrite calls this first, making
+    the retry idempotent."""
     snap = load_snapshot(path)
+    retained = set(snap["superseded"])
     removed = 0
     for d, files in _list_data_files(path, partition_col).items():
         keep = set(snap["partitions"].get(d, []))
         for f in files:
-            if f not in keep:
+            if f not in keep and f"{d}/{f}" not in retained:
                 os.remove(os.path.join(path, d, f))
                 removed += 1
+    return removed
+
+
+def expire_superseded(path: str) -> int:
+    """Reclaim data files superseded by past commits — the explicit
+    expiry step (Iceberg ``expireSnapshots``): ONLY the caller knows when
+    no reader still holds a pre-commit snapshot, so reclamation never
+    happens implicitly inside a commit.  Returns #files removed."""
+    snap = load_snapshot(path)
+    removed = 0
+    for rel in snap["superseded"]:
+        p = os.path.join(path, *rel.split("/"))
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    snap["superseded"] = []
+    snap["version"] += 1
+    _commit_snapshot(path, snap)
     return removed
 
 
@@ -143,7 +170,14 @@ def overwrite_partitions(df: DataFrame, path: str, partition_col: str,
     A crash anywhere before step 3 (simulated by
     ``crash_before_commit=True``) leaves torn partition dirs whose orphan
     files no committed reader lists; re-running the call completes the
-    overwrite.  Untouched partitions keep their committed files."""
+    overwrite.  Untouched partitions keep their committed files.  The
+    files a touched partition held BEFORE the commit move to the
+    snapshot's ``superseded`` retention list, NOT the trash: a reader
+    that resolved the prior snapshot (a lazy DataFrame holding the old
+    file list) must keep working after the commit, exactly as Iceberg
+    retains old-snapshot data files until ``expireSnapshots`` — call
+    :func:`expire_superseded` to reclaim them once no such reader
+    remains."""
     vacuum_uncommitted(path, partition_col)
     before = _list_data_files(path, partition_col)
     df.write.mode("append").partitionBy(partition_col).parquet(path)
@@ -151,14 +185,15 @@ def overwrite_partitions(df: DataFrame, path: str, partition_col: str,
         return load_snapshot(path)  # the writer "died" — snapshot untouched
     after = _list_data_files(path, partition_col)
     snap = load_snapshot(path)
+    superseded = set(snap["superseded"])
     for d, files in after.items():
         new = sorted(set(files) - set(before.get(d, [])))
         if new:
+            superseded.update(f"{d}/{f}" for f in snap["partitions"].get(d, []))
             snap["partitions"][d] = new
+    snap["superseded"] = sorted(superseded)
     snap["version"] += 1
     _commit_snapshot(path, snap)
-    # superseded files are now unreferenced; reclaim them
-    vacuum_uncommitted(path, partition_col)
     return snap
 
 

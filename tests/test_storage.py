@@ -137,3 +137,46 @@ def test_overwrite_partitions_snapshot_isolated_crash_resume(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell_id" in ln and "3" in ln for ln in pf), pf
     assert q.count() == 100
+
+
+def test_overwrite_retains_superseded_files_for_inflight_readers(spark, tmp_path):
+    """A reader that resolved the PRE-commit snapshot (a lazy DataFrame
+    holding the old file list) must keep working after a later
+    overwrite_partitions commit — Iceberg retains old-snapshot data files
+    until an explicit expireSnapshots.  Fails with FileNotFoundException
+    if the commit eagerly vacuums the files it superseded."""
+    path = str(tmp_path / "snap_tbl2")
+    base = spark.range(400).select(
+        F.col("id").alias("pid"), (F.col("id") % 4).alias("cell_id"),
+        (F.col("id") * 1.0).alias("v"))
+    storage.create_table_snapshot(base, path, "cell_id")
+    # in-flight reader: file list resolved against snapshot v1, lazy plan
+    t_old = storage.read_committed(spark, path, "cell_id")
+    want_old = sorted((r["pid"], r["cell_id"], r["v"]) for r in t_old.collect())
+
+    new2 = spark.range(10).select(
+        (F.col("id") + 50_000).alias("pid"), F.lit(2).alias("cell_id"),
+        F.lit(-2.0).alias("v"))
+    snap = storage.overwrite_partitions(new2, path, "cell_id")
+    assert snap["superseded"], "commit must record the replaced v1 files"
+
+    # the v1 reader re-executes its plan AFTER the commit: every file it
+    # listed must still exist (retention), and it sees the OLD data
+    got_old = sorted((r["pid"], r["cell_id"], r["v"]) for r in t_old.collect())
+    assert got_old == want_old
+    # a fresh committed reader sees the new data
+    t_new = storage.read_committed(spark, path, "cell_id")
+    assert t_new.where(F.col("cell_id") == 2).count() == 10
+    # the retained files are NOT orphans: vacuum must leave them alone
+    assert storage.vacuum_uncommitted(path, "cell_id") == 0
+    assert sorted((r["pid"], r["cell_id"], r["v"]) for r in t_old.collect()) == want_old
+
+    # explicit expiry reclaims them; only then does the old plan break
+    removed = storage.expire_superseded(path)
+    assert removed == len(snap["superseded"])
+    assert storage.load_snapshot(path)["superseded"] == []
+    import pytest
+    with pytest.raises(Exception):
+        t_old.collect()
+    # current snapshot unaffected by expiry
+    assert t_new.count() == 400 - 100 + 10
