@@ -394,7 +394,21 @@ class SpatialEngine:
                 m.setdefault(int(c), []).append(qi)
         return m
 
-    def _rect_candidates_flat(self, rects: list[tuple]) -> tuple[np.ndarray, np.ndarray]:
+    @staticmethod
+    def _rects_np(rects: list[tuple]) -> tuple[np.ndarray, np.ndarray]:
+        """One-time conversion of a rectangle batch to its (N, 4) float64
+        corner array + int64 query-id array.  Built ONCE per job and
+        threaded through routing/probe: at an 18k-rect production batch
+        each redundant list-comprehension conversion is serial driver
+        time on exactly the path the vectorized routing exists for."""
+        arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
+                         dtype=np.float64).reshape(len(rects), 4)
+        qids = np.asarray([r[0] for r in rects], dtype=np.int64)
+        return arr, qids
+
+    def _rect_candidates_flat(self, rects: list[tuple],
+                              rects_arr: np.ndarray | None = None,
+                              ) -> tuple[np.ndarray, np.ndarray]:
         """Flat (cell, query_idx) candidate pairs for a rectangle batch —
         the vectorized form of the `_cell_query_map` loop.  Fixed grid
         routes the whole batch in closed-form array arithmetic (no
@@ -408,8 +422,7 @@ class SpatialEngine:
         if isinstance(p, STRPartitioner):
             self.cell_stats()
         if isinstance(p, FixedGridPartitioner):
-            arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
-                             dtype=np.float64).reshape(len(rects), 4)
+            arr = rects_arr if rects_arr is not None else self._rects_np(rects)[0]
             lo, hi = p.rect_cell_ranges(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
             return probes.flatten_ranges(lo, hi)
         return probes.flatten_cell_lists(
@@ -418,29 +431,28 @@ class SpatialEngine:
     # ---------------------------------------------------------- range Qs ---
 
     def _range_probe(self, rects: list[tuple], materialize: bool,
-                     routing: tuple | None = None) -> DataFrame:
+                     routing: tuple | None = None,
+                     rects_np: tuple[np.ndarray, np.ndarray] | None = None,
+                     ) -> DataFrame:
         refine = self.refine
         # pre-fit knots index the FULL cell's sorted order — unusable for
         # salted sub-groups, so fall back to in-probe fit when salting;
         # shipped as a broadcast, not a closure capture (O(#cells) payload)
         models_bc = self._models_broadcast() if not self.salt_rows else None
-        from .operators import probes as _probes
+        from .operators import probes
+        q, qids = rects_np if rects_np is not None else self._rects_np(rects)
         if routing is None:
-            routing = _probes.compact_routing(*self._rect_candidates_flat(rects))
+            routing = probes.compact_routing(*self._rect_candidates_flat(rects, q))
         # columnar routing table rides a BROADCAST, not the task closure: a
         # production batch's (cell, query) pairs are MBs — as closure state
         # they would be re-pickled into the plan per job and re-unpickled
         # per task (measured 0.3s/task at 18k rects); as int64 arrays in a
         # broadcast they ship once and load once per worker
         routing_bc = self.spark.sparkContext.broadcast(routing)
-        q = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects], dtype=np.float64)
-        qids = np.asarray([r[0] for r in rects], dtype=np.int64)
         if materialize:
             schema = "query_id bigint, pid bigint, x double, y double"
         else:
             schema = "query_id bigint, cnt bigint"
-
-        from .operators import probes
 
         def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cell = int(key[0])
@@ -509,19 +521,18 @@ class SpatialEngine:
         removes most of the scan (a whole-domain query probes nothing)."""
         from .operators import probes
         s = self.cell_stats()  # also fills STR MBRs for cells_for_rect
-        rects_arr = np.asarray([[r[1], r[2], r[3], r[4]] for r in rects],
-                               dtype=np.float64).reshape(len(rects), 4)
-        cells_flat, qidx_flat = self._rect_candidates_flat(rects)
+        rects_arr, qids = self._rects_np(rects)
+        cells_flat, qidx_flat = self._rect_candidates_flat(rects, rects_arr)
         base, boundary = probes.route_contained(
             rects_arr, cells_flat, qidx_flat,
             s.ids, s.minx, s.miny, s.maxx, s.maxy, s.count)
-        parts = self._range_probe(rects, materialize=False, routing=boundary)
+        parts = self._range_probe(rects, materialize=False, routing=boundary,
+                                  rects_np=(rects_arr, qids))
         agg = parts.groupBy("query_id").agg(F.sum("cnt").alias("cnt"))
         # Arrow-path local frame (a Python row list re-pickles per job and
         # costs ~0.5s at 18k queries)
         qdf = self.spark.createDataFrame(pd.DataFrame(
-            {"query_id": np.asarray([r[0] for r in rects], dtype=np.int64),
-             "base": base}))
+            {"query_id": qids, "base": base}))
         return (
             qdf.join(agg, "query_id", "left")
             .select("query_id",

@@ -171,10 +171,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     usec_per_frame = w = h = None
+    top_down = False
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal usec_per_frame, w, h
+        nonlocal usec_per_frame, w, h, top_down
         pos = start
         while pos + 8 <= end:
             cid, clen = struct.unpack_from("<4sI", payload, pos)
@@ -189,7 +190,9 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 if bpp != 24 or comp != 0:
                     raise NotImplementedError(
                         f"unsupported AVI stream bpp={bpp} comp={comp}")
-                w, h = bw, abs(bh)
+                # negative biHeight = top-down DIB (rows already in display
+                # order); positive = the usual bottom-up row storage
+                w, h, top_down = bw, abs(bh), bh < 0
             elif cid == b"00db":
                 if w is None:
                     raise ValueError("AVI frame before strf header")
@@ -197,7 +200,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 data = np.frombuffer(payload, dtype=np.uint8,
                                      count=row_bytes * h, offset=body_at)
                 rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+                rgb = rows[:, :, ::-1]  # BGR -> RGB
+                frames.append((rgb if top_down else rgb[::-1]).copy())
             elif cid == b"00dc":
                 raise NotImplementedError("compressed AVI frames need a codec")
             pos = body_at + clen + (clen & 1)

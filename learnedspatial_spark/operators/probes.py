@@ -141,10 +141,11 @@ def route_contained(rects_arr: np.ndarray, cells_flat: np.ndarray,
     nq = rects_arr.shape[0]
     base = np.zeros(nq, dtype=np.int64)
     ids = np.asarray(ids, dtype=np.int64)
-    empty = (np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64),
-             np.empty(0, dtype=np.int64))
     if ids.size == 0 or cells_flat.size == 0:
-        return base, empty
+        # one canonical constructor keeps the routing-table dtypes
+        # (int32 query indices) consistent on the empty path too
+        return base, compact_routing(np.empty(0, dtype=np.int64),
+                                     np.empty(0, dtype=np.int64))
     order = np.argsort(ids)
     ids_sorted = ids[order]
     pos = np.minimum(np.searchsorted(ids_sorted, cells_flat), ids_sorted.size - 1)

@@ -224,6 +224,24 @@ def test_multimodal_codecs_roundtrip():
     with pytest.raises(NotImplementedError):
         mm.decode_avi(bytes(compressed))
 
+    # top-down DIB streams (negative biHeight — real encoders emit them):
+    # rebuild the same video with rows stored in display order and the
+    # strf height negated; decode must honor the sign, not mirror frames
+    import struct
+    n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
+    td = bytearray(mm.encode_avi(fr, fps=4))
+    strf_body = bytes(td).find(b"strf") + 8
+    struct.pack_into("<i", td, strf_body + 8, -h)  # biHeight field
+    row_bytes = (w * 3 + 3) // 4 * 4
+    movi = bytes(td).find(b"movi")
+    for f in range(n):
+        at = movi + 4 + f * (8 + row_bytes * h) + 8
+        dib = np.frombuffer(bytes(td[at:at + row_bytes * h]),
+                            dtype=np.uint8).reshape(h, row_bytes)
+        td[at:at + row_bytes * h] = dib[::-1].tobytes()  # bottom-up -> top-down
+    got_td, _ = mm.decode_avi(bytes(td))
+    assert np.array_equal(got_td, fr)
+
 
 def test_multimodal_real_decode_features(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
