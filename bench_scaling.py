@@ -165,8 +165,11 @@ def run(cores: int) -> dict:
     script = CHILD.format(repo=REPO, scale_input=SCALE_INPUT,
                           partition_size=PARTITION_SIZE,
                           range_tier_n=RANGE_TIER_N)
+    # a level launched into the sick mode can run 3-20x slow; the child
+    # timeout is a knob so a forced-launch run isn't killed mid-level
+    child_timeout = int(os.environ.get("SPARK_GRAFT_SCALE_CHILD_TIMEOUT_S", "1800"))
     out = subprocess.run([sys.executable, "-c", script, str(cores)],
-                         capture_output=True, text=True, timeout=1800)
+                         capture_output=True, text=True, timeout=child_timeout)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             res = json.loads(line)
