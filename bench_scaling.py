@@ -151,33 +151,49 @@ def run(cores: int) -> dict:
     """One parallelism level in a fresh subprocess, BRACKETED by the
     page-touch host witness (this VM's sick mode oscillates mid-run:
     a level measured while pagetouch < ~1 GB/s is contaminated and the
-    artifact must say so).  Waits bounded for quiet before launching."""
+    artifact must say so).  Waits bounded for quiet before launching;
+    with SPARK_GRAFT_SCALE_LEVEL_RETRIES > 0, a level whose CLOSING
+    witness is sick is re-measured (the opening witness cannot see a
+    mid-run strike — attempt 1 of the r5 range re-run launched quiet
+    and closed at 0.41 GB/s).  Every attempt's bracket is recorded."""
     import time
 
     import bench
-    waited = 0.0
+    retries = int(os.environ.get("SPARK_GRAFT_SCALE_LEVEL_RETRIES", "0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
-    _, pt = bench.host_bandwidth_gbs()
-    while pt < 1.0 and waited < max_wait:
-        time.sleep(45)
-        waited += 45
-        _, pt = bench.host_bandwidth_gbs()
     script = CHILD.format(repo=REPO, scale_input=SCALE_INPUT,
                           partition_size=PARTITION_SIZE,
                           range_tier_n=RANGE_TIER_N)
     # a level launched into the sick mode can run 3-20x slow; the child
     # timeout is a knob so a forced-launch run isn't killed mid-level
     child_timeout = int(os.environ.get("SPARK_GRAFT_SCALE_CHILD_TIMEOUT_S", "1800"))
-    out = subprocess.run([sys.executable, "-c", script, str(cores)],
-                         capture_output=True, text=True, timeout=child_timeout)
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            res = json.loads(line)
-            _, pt_after = bench.host_bandwidth_gbs()
-            res["witness"] = {"pagetouch_before": pt, "pagetouch_after": pt_after,
-                              "quiet_wait_s": waited}
-            return res
-    raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
+    attempts = []
+    for attempt in range(retries + 1):
+        waited = 0.0
+        _, pt = bench.host_bandwidth_gbs()
+        while pt < 1.0 and waited < max_wait:
+            time.sleep(45)
+            waited += 45
+            _, pt = bench.host_bandwidth_gbs()
+        out = subprocess.run([sys.executable, "-c", script, str(cores)],
+                             capture_output=True, text=True,
+                             timeout=child_timeout)
+        res = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                res = json.loads(line)
+        if res is None:
+            raise RuntimeError(f"no result from cores={cores}: {out.stderr[-2000:]}")
+        _, pt_after = bench.host_bandwidth_gbs()
+        res["witness"] = {"pagetouch_before": pt, "pagetouch_after": pt_after,
+                          "quiet_wait_s": waited}
+        attempts.append(res)
+        if pt_after >= 1.0:
+            break
+    best = attempts[-1]
+    if len(attempts) > 1:
+        best["witness"]["prior_attempts"] = [a["witness"] for a in attempts[:-1]]
+    return best
 
 
 #: Kernel-bench occupancy sweep: the tuned-example 8k cells, a 64k mid
