@@ -132,15 +132,22 @@ if cores == 32:
     tiers["knn_30q"] = w
     tn = {range_tier_n}
     tier_slices = {{"lo": rects[0:tn], "mid": rects[tn:2*tn], "hi": rects[2*tn:3*tn]}}
+    # the two refinements are timed INTERLEAVED (like the kernel sweep):
+    # this host's oscillating sick mode struck single sequential timings
+    # twice in round 5 (attempt-1 lo_learned 8.0s vs 3.4s quiet,
+    # attempt-2 mid_learned 14.9s vs 3.6s) — interleaving degrades both
+    # sides together instead of poisoning one
     for tname, trs in tier_slices.items():
         for refine in ("learned", "binsearch"):
             eng.refine = refine
             eng.range_count(trs).collect()  # warm this plan
-            w = 1e18
-            for _ in range(2):
+            tiers[tname + "_" + refine] = 1e18
+        for _ in range(2):
+            for refine in ("learned", "binsearch"):
+                eng.refine = refine
                 t0 = time.perf_counter(); eng.range_count(trs).collect()
-                w = min(w, time.perf_counter() - t0)
-            tiers[tname + "_" + refine] = w
+                k = tname + "_" + refine
+                tiers[k] = min(tiers[k], time.perf_counter() - t0)
     eng.refine = "learned"
 print(json.dumps({{"cores": cores, "rows": n, "walls": best, "tiers": tiers}}))
 spark.stop()
@@ -371,7 +378,7 @@ local[4] {w4x:.1f}s / local[16] {w16x:.1f}s, efficiency
 {r3x['eff_4_to_16']:.2f}, fixed term ~{fx:.1f}s — BENCH/range3x_r4.json)
 moved it in the predicted direction.  The table above closes that loop:
 the range row IS the production-sized batch now, measured at all four
-levels with per-level quiet witnesses.  The 3x run also measured the
+levels with per-level bracketing witnesses.  The 3x run also measured the
 amortization that makes big batches cheap — 3x the queries cost only
 ~1.4x the compute, because the vectorized per-cell kernels share the
 candidate-run scan across queries.
@@ -464,7 +471,7 @@ binsearch wall / learned wall (>1 favors learned).
 
 Both refinements produce identical results (the per-scheme range-count
 oracles); the comparison is throughput only.
-
+{(prior.get("tier_sweep_provenance") + chr(10)) if prior and prior.get("tier_sweep_provenance") else ""}
 ### Kernel-level ns/lookup by occupancy (the reference's own metric)
 
 The reference reports build ms + ns/lookup (src/main.cpp:129-130).  The
