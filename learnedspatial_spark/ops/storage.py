@@ -149,7 +149,12 @@ def expire_superseded(path: str) -> int:
 
 def create_table_snapshot(df: DataFrame, path: str, partition_col: str) -> dict:
     """Full-table create under the snapshot protocol: static partitioned
-    overwrite, then commit everything written as snapshot v1."""
+    overwrite, then commit everything written as snapshot v1.  This is
+    CREATE OR REPLACE, not a commit: the static overwrite physically
+    truncates the table dir, including any files retained for readers of
+    a previous table's snapshots — replace a table only when no reader
+    holds plans over its prior incarnation (per-partition evolution with
+    in-flight readers goes through :func:`overwrite_partitions`)."""
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     snap = {"version": 1, "partitions": _list_data_files(path, partition_col)}
     _commit_snapshot(path, snap)
