@@ -72,6 +72,27 @@ def host_bandwidth_gbs() -> tuple[float, float]:
     return round(3 * 8 * n / best / 1e9, 2), round(pagetouch, 3)
 
 
+def host_active_recovery(seconds: float = 6.0) -> None:
+    """Actively touch fresh pages for a few seconds.
+
+    Measured 2026-08-19: the sick mode has an IDLE-MEMORY form that
+    active use dissipates — a cold page-touch probe read 0.21 GB/s,
+    ~5 s of fresh 160 MB allocations lifted it to 4.3 GB/s, and it
+    stayed quiet 20 s later (but decayed back to ~0.13 within a few
+    minutes of idleness).  This explains the 2026-08-18 CLAUDE.md
+    observation that hours of sick spot checks were followed by quiet
+    witnesses INSIDE the very next bench run.  So before concluding the
+    host is sick, DRIVE it: a wait loop that only ever polls can miss
+    every window, while recover-then-check converts most of them.  The
+    persistent sick mode (witnesses stay low even during active work)
+    still exists and still reads sick after this."""
+    import numpy as np
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        a = np.ones(20_000_000)  # 160 MB of fresh page touches
+        del a
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -91,9 +112,14 @@ def main() -> None:
     # rescued it.  The persistent sick mode still gives up and records
     # itself in the witnesses.
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
+    if pt_before < 1.0:
+        # try dissipating the idle-memory form before waiting at all
+        host_active_recovery()
+        bw_before, pt_before = host_bandwidth_gbs()
     while pt_before < 1.0 and waited_s < max_wait:
         time.sleep(45)
         waited_s += 45
+        host_active_recovery()
         bw_before, pt_before = host_bandwidth_gbs()
 
     from learnedspatial_spark.engine import SpatialEngine

@@ -178,9 +178,13 @@ def run(cores: int) -> dict:
     for attempt in range(retries + 1):
         waited = 0.0
         _, pt = bench.host_bandwidth_gbs()
+        if pt < 1.0:  # drive the idle-memory sick form out before waiting
+            bench.host_active_recovery()
+            _, pt = bench.host_bandwidth_gbs()
         while pt < 1.0 and waited < max_wait:
             time.sleep(45)
             waited += 45
+            bench.host_active_recovery()
             _, pt = bench.host_bandwidth_gbs()
         out = subprocess.run([sys.executable, "-c", script, str(cores)],
                              capture_output=True, text=True,

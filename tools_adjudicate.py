@@ -41,16 +41,24 @@ QUERIES = ("range_count", "distance_count", "pip", "knn",
 
 
 def wait_quiet(max_wait_s: float) -> tuple[bool, float, float]:
-    """Poll the page-touch witness until quiet (>= 1 GB/s) or timeout.
+    """Drive-then-poll the page-touch witness until quiet (>= 1 GB/s).
 
-    Returns (quiet, last_pagetouch_gbs, waited_s).  Never sleeps when
-    the host is already quiet.
+    A sick reading triggers an ACTIVE recovery attempt first
+    (bench.host_active_recovery — the idle-memory sick form dissipates
+    under ~5 s of fresh allocations, measured 2026-08-19); only the
+    persistent form falls through to the sleep loop, which retries the
+    recovery each round.  Returns (quiet, last_pagetouch_gbs,
+    waited_s); never sleeps when the host is already quiet.
     """
     waited = 0.0
     _, pt = bench.host_bandwidth_gbs()
+    if pt < 1.0:
+        bench.host_active_recovery()
+        _, pt = bench.host_bandwidth_gbs()
     while pt < 1.0 and waited < max_wait_s:
         time.sleep(60)
         waited += 60
+        bench.host_active_recovery()
         _, pt = bench.host_bandwidth_gbs()
     return pt >= 1.0, pt, waited
 
