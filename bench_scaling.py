@@ -444,6 +444,15 @@ task slots the single-process stack saturates shared LLC/memory bandwidth
 and JVM<->Python Arrow streams, so 8->32 under-reports what 4 independent
 executors would do.  On a real cluster each 4N executor adds its own
 socket, LLC, JVM and Python pool — the regime the 4->16 pair measures.
+The ceiling is MEASURED, not inferred (round 5, no Spark involved —
+`tools_kernel_scaling.py`, raw JSON `BENCH/kernel_mechanism_r5.json`):
+a fixed DRAM-bound workload split across 4 vs 16 processes scales at
+0.625 (aggregate bandwidth 8.8 -> 21.9 GB/s, not 4x) — bracketing the
+range row — while the engine's own `range_count_cell` kernel at engine
+occupancy scales at 0.922 (its scans are cache-resident; the
+DRAM-bound bytes are the per-job streaming traffic, so the least
+compute-per-byte leg hits the socket ceiling first; details in
+BENCH/ADJUDICATION_r5.md "Mechanism probe").
 Design properties that carry over: one cell-keyed shuffle reused by every
 probe (plan-verified Sort-only reuse), broadcast specs O(#cells), no
 driver-side bottleneck, AQE skew split + optional deterministic salting
