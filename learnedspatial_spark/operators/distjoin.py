@@ -1,0 +1,230 @@
+"""Table-vs-table within-radius distance JOIN (grid-blocked, exact refine).
+
+The reference answers distance queries from a driver-side query LIST
+(include/queries/distance.h:25-45 haversine; src/main.cpp distance
+workload).  This operator is the table x table generalization a
+production pipeline needs: given one distributed point table, emit every
+unordered pair within ``radius_m`` great-circle meters — without an
+all-pairs join.
+
+Scale design (the part that must survive 100 TB):
+
+- **Blocking** is a latitude-band x longitude-cell grid derived in
+  closed form from the radius.  Band height is the exact latitude bound
+  (haversine(a, b) >= R * |delta lat|, with equality at delta lon = 0),
+  and each band's longitude cell width is the exact longitude bound at
+  the band's most poleward reachable latitude
+  (``2 * asin(sin(r / 2R) / cos(phi_max))``) — bands near a pole where
+  that bound exceeds the full circle collapse to ONE cell per band.
+  Both bounds are inflated by ``SAFETY`` so floating-point rounding of
+  the thresholds can only ever ADD candidates, never drop a true pair.
+- **One stencil side.**  The right side emits its single (band, cell)
+  key; the left side emits the 3 x 3 neighborhood (its band +-1, each
+  with THAT band's own cell width, cells +-1 modulo the band's cell
+  count so antimeridian pairs meet).  A closed-form filter keeps one
+  representative per distinct key when a polar band has fewer than 3
+  cells, so no pair can surface twice and no shuffle is spent on
+  dedup.  The join is then a plain equi-join on (band, cell):
+  shuffle keyed by block, AQE skew-split applies to hot blocks, and the
+  shuffled rows carry only (pid, x, y) — never a payload column.
+- **Exact refine** runs as an Arrow-batched NumPy kernel
+  (:func:`operators.probes.haversine_m` — the same kernel the graded
+  distance queries use, so the DuckDB oracle parity rests on the same
+  measured NumPy==DuckDB trig identity).  Spark's JVM trig carries no
+  such guarantee, which is why the refine is NOT a Column expression.
+
+Correctness of the blocking (proved, then property-tested against an
+O(n^2) NumPy oracle in tests/test_distjoin.py):
+
+- ``dist <= r  =>  |delta lat| <= band_deg``, so the pair's bands differ
+  by at most 1 (floor of values at most ``band_deg`` apart, and the
+  inflation keeps the boundary case strict).
+- For a pair whose right point sits in band b, both latitudes lie in
+  ``[lo(b - 1), hi(b + 1)]``; the band-b cell width covers the longitude
+  bound over exactly that interval, so the WRAPPED longitude difference
+  is at most one cell width.  The fractional last cell is merged into
+  cell ``n - 1`` (``n = floor(360 / w)``, cell index clamped), which
+  makes every cell at least ``w`` wide — without the merge, a seam pair
+  could land 2 cells apart across the narrow sliver.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.geo import EARTH_RADIUS_M
+
+#: Multiplicative inflation applied to every blocking threshold.  The
+#: closed-form bounds are exact in real arithmetic; one ulp of rounding
+#: in the double evaluation could otherwise drop a pair sitting exactly
+#: on the radius.  2^-10 is ~10^9 ulps of margin at these magnitudes and
+#: costs <0.1% extra candidates.
+SAFETY = 1.0 + 2.0**-10
+
+
+def band_deg(radius_m: float) -> float:
+    """Latitude band height in degrees: the exact |delta lat| bound for a
+    pair within ``radius_m`` (haversine >= R * |delta lat in radians|),
+    SAFETY-inflated."""
+    return math.degrees(radius_m / EARTH_RADIUS_M) * SAFETY
+
+
+def _w_expr(band: Column, radius_m: float) -> Column:
+    """Longitude cell width (degrees) of ``band`` — the one trig-bearing
+    tree in the blocking.  Both join sides evaluate this same expression,
+    so the JVM arithmetic (which only shapes the CONSERVATIVE block
+    boundaries, never the exact result) agrees bit-for-bit between them.
+    ``reach`` is the largest |latitude| any pair matching a band-``band``
+    key can touch: the pair's other point may sit one band away, so the
+    interval is [lo(band-1), hi(band+1)]."""
+    bd = band_deg(radius_m)
+    sinr = math.sin(radius_m / (2.0 * EARTH_RADIUS_M))
+    reach = F.least(
+        F.greatest(F.abs((band - 1) * bd - 90.0), F.abs((band + 2) * bd - 90.0)),
+        F.lit(90.0),
+    )
+    cosmin = F.cos(F.radians(reach))
+    # cosmin <= sinr: the longitude bound reaches the antipode — the whole
+    # band is one cell (covers reach >= 90, where cosmin <= 0 <= sinr).
+    return F.when(cosmin <= sinr, F.lit(360.0)).otherwise(
+        F.least(F.degrees(2.0 * F.asin(F.lit(sinr) / cosmin)) * SAFETY, F.lit(360.0))
+    )
+
+
+def _n_expr(w: Column) -> Column:
+    """Cell count: the fractional last cell is MERGED into cell n-1 (every
+    cell at least w wide) — with a ceil-style count, a seam pair could
+    land two cells apart across the narrow sliver."""
+    return F.greatest(F.floor(360.0 / w), F.lit(1)).cast("int")
+
+
+def _cell_expr(lon: Column, w: Column, n: Column) -> Column:
+    return F.least(F.floor((lon + 180.0) / w), (n - 1).cast("bigint")).cast("int")
+
+
+def _wn_cell(band: Column, lon: Column, radius_m: float) -> tuple[Column, Column]:
+    """(cell_count, cell_index) Columns for ``lon`` under the longitude
+    discretization of ``band`` (single-key side: the width tree inlines a
+    few times in one Project, which stays well under the codegen method
+    limit)."""
+    w = _w_expr(band, radius_m)
+    n = _n_expr(w)
+    return n, _cell_expr(lon, w, n)
+
+
+def _band(lat: Column, radius_m: float) -> Column:
+    return F.floor((lat + 90.0) / band_deg(radius_m)).cast("int")
+
+
+def block_key_cols(radius_m: float) -> list[Column]:
+    """The single (band, cell) key of a point — the non-stencil side."""
+    band = _band(F.col("x"), radius_m)
+    _n, cell = _wn_cell(band, F.col("y"), radius_m)
+    return [band.alias("band"), cell.alias("cell")]
+
+
+def stencil_keys(base: DataFrame, radius_m: float) -> DataFrame:
+    """The 3 x 3 blocking neighborhood of each point, one row per key:
+    bands band+-1, each discretized with ITS OWN cell width, cells +-1
+    modulo that band's cell count (antimeridian wrap).
+
+    Plan shape matters here (CLAUDE.md: Catalyst inlines Project aliases,
+    and a Generate input carrying 9 copies of the trig-bearing width tree
+    blew the 64KB codegen method limit).  So the width is given a SAFE
+    HOME as a Generate output attribute: the first explode emits the 3
+    (band, w) structs — the width tree appears exactly once per band —
+    and everything downstream (cell count, cell index, the dc fan-out) is
+    cheap arithmetic over the ``w`` attribute.  The second explode's
+    ``slice(array(0, 1, -1), 1, least(n, 3))`` both fans out dc and
+    DEDUPLICATES: a polar band with n < 3 cells would alias stencil cells
+    modulo n, and taking the first min(n, 3) offsets keeps exactly one
+    representative per distinct key — no pair can surface twice, and no
+    shuffle is spent on dedup."""
+    band = _band(F.col("x"), radius_m)
+    band_w = F.array(*[
+        F.struct(
+            (band + db).cast("int").alias("band"),
+            _w_expr(band + db, radius_m).alias("w"),
+        )
+        for db in (-1, 0, 1)
+    ])
+    n = _n_expr(F.col("bw.w"))
+    return (
+        base.select("pid", "x", "y", F.explode(band_w).alias("bw"))
+        .select(
+            "pid", "x", "y",
+            F.col("bw.band").alias("band"),
+            n.alias("n"),
+            _cell_expr(F.col("y"), F.col("bw.w"), n).alias("c"),
+        )
+        .select(
+            "pid", "x", "y", "band", "n", "c",
+            F.explode(F.slice(F.array(F.lit(0), F.lit(1), F.lit(-1)),
+                              F.lit(1), F.least(F.col("n"), F.lit(3)))).alias("dc"),
+        )
+        .select(
+            "pid", "x", "y", "band",
+            F.pmod(F.col("c") + F.col("dc"), F.col("n")).cast("int").alias("cell"),
+        )
+    )
+
+
+def distance_join_pairs(
+    points: DataFrame,
+    radius_m: float,
+    id_col: str = "pid",
+    lat_col: str = "x",
+    lon_col: str = "y",
+) -> DataFrame:
+    """All unordered point pairs within ``radius_m`` great-circle meters:
+    ``(l_pid, r_pid)`` with ``l_pid < r_pid``, each pair exactly once.
+
+    Self-join dedup: the right side holds one key per point and the left
+    side's stencil keys are distinct, so a given (l, r) meets on exactly
+    one key; ``l.pid < r.pid`` then keeps one orientation of the two
+    symmetric meetings.
+    """
+    base = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(lat_col).cast("double").alias("x"),
+        F.col(lon_col).cast("double").alias("y"),
+    )
+    left = stencil_keys(base, radius_m).select(
+        F.col("pid").alias("l_pid"),
+        F.col("x").alias("l_x"),
+        F.col("y").alias("l_y"),
+        "band", "cell",
+    )
+    right = base.select(
+        F.col("pid").alias("r_pid"),
+        F.col("x").alias("r_x"),
+        F.col("y").alias("r_y"),
+        *block_key_cols(radius_m),
+    )
+    cand = left.join(right, on=["band", "cell"], how="inner").where(
+        F.col("l_pid") < F.col("r_pid")
+    )
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import probes
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            la1 = (pdf["l_x"].to_numpy() / 180.0) * np.pi
+            lo1 = (pdf["l_y"].to_numpy() / 180.0) * np.pi
+            la2 = (pdf["r_x"].to_numpy() / 180.0) * np.pi
+            lo2 = (pdf["r_y"].to_numpy() / 180.0) * np.pi
+            keep = probes.haversine_m(la1, lo1, la2, lo2) <= radius_m
+            out = pdf.loc[keep, ["l_pid", "r_pid"]]
+            if len(out):
+                yield out
+
+    return cand.select("l_pid", "l_x", "l_y", "r_pid", "r_x", "r_y").mapInPandas(
+        refine, schema="l_pid long, r_pid long"
+    )

@@ -267,6 +267,25 @@ def main() -> None:
         "HashAggregate",
     ]))
 
+    # distance join (round 5): blocked table x table within-radius join —
+    # the candidate set must form via an EQUI-join on the (band, cell)
+    # block key (never a cross/nested-loop join), the refine must be the
+    # Arrow-batched NumPy kernel (MapInPandas), and the stencil fan-out
+    # must keep the trig-bearing width tree inside a Generate output
+    # (the 9-struct literal form broke the 64KB codegen method limit)
+    from learnedspatial_spark.operators.distjoin import distance_join_pairs
+    from learnedspatial_spark.sources.points import points_df as _points_df
+    p16 = plan_of(distance_join_pairs(_points_df(spark, sf), 25000.0))
+    if (re.search(r"BroadcastNestedLoopJoin|CartesianProduct", p16) is None
+            and re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", p16)
+            and p16.count("Generate") >= 2):
+        p16 += ("\n-- audit: blocked-equi-join (band x cell key, two-stage "
+                "stencil Generate, no cross join)\n")
+    sections.append(("distance_join_pairs (blocked within-radius join)", p16, [
+        "blocked-equi-join",
+        "MapInPandas",
+    ]))
+
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
     ok_all = True
