@@ -2,10 +2,11 @@
 
 The reference answers distance queries from a driver-side query LIST
 (include/queries/distance.h:25-45 haversine; src/main.cpp distance
-workload).  This operator is the table x table generalization a
-production pipeline needs: given one distributed point table, emit every
-unordered pair within ``radius_m`` great-circle meters — without an
-all-pairs join.
+workload).  These operators are the table x table generalizations a
+production pipeline needs: every unordered pair within ``radius_m``
+great-circle meters (:func:`distance_join_pairs`), and the k nearest
+right-table points within the radius per left-table point
+(:func:`knn_join`) — both without an all-pairs join.
 
 Scale design (the part that must survive 100 TB):
 
@@ -174,41 +175,39 @@ def stencil_keys(base: DataFrame, radius_m: float) -> DataFrame:
     )
 
 
-def distance_join_pairs(
-    points: DataFrame,
-    radius_m: float,
-    id_col: str = "pid",
-    lat_col: str = "x",
-    lon_col: str = "y",
-) -> DataFrame:
-    """All unordered point pairs within ``radius_m`` great-circle meters:
-    ``(l_pid, r_pid)`` with ``l_pid < r_pid``, each pair exactly once.
-
-    Self-join dedup: the right side holds one key per point and the left
-    side's stencil keys are distinct, so a given (l, r) meets on exactly
-    one key; ``l.pid < r.pid`` then keeps one orientation of the two
-    symmetric meetings.
-    """
-    base = points.select(
+def _normalize(points: DataFrame, id_col: str, lat_col: str, lon_col: str) -> DataFrame:
+    return points.select(
         F.col(id_col).alias("pid"),
         F.col(lat_col).cast("double").alias("x"),
         F.col(lon_col).cast("double").alias("y"),
     )
-    left = stencil_keys(base, radius_m).select(
+
+
+def _blocked_candidates(left: DataFrame, right: DataFrame, radius_m: float) -> DataFrame:
+    """Candidate (l, r) rows whose great-circle distance MAY be within
+    ``radius_m``: the left side fans its stencil keys, the right side its
+    single key, and the equi-join on (band, cell) meets every true pair
+    exactly once (the stencil keys of one point are distinct, the right
+    key unique)."""
+    l = stencil_keys(left, radius_m).select(
         F.col("pid").alias("l_pid"),
         F.col("x").alias("l_x"),
         F.col("y").alias("l_y"),
         "band", "cell",
     )
-    right = base.select(
+    r = right.select(
         F.col("pid").alias("r_pid"),
         F.col("x").alias("r_x"),
         F.col("y").alias("r_y"),
         *block_key_cols(radius_m),
     )
-    cand = left.join(right, on=["band", "cell"], how="inner").where(
-        F.col("l_pid") < F.col("r_pid")
-    )
+    return l.join(r, on=["band", "cell"], how="inner")
+
+
+def _refine_dist(cand: DataFrame, radius_m: float) -> DataFrame:
+    """Exact haversine over the candidates, Arrow-batched NumPy (the same
+    kernel — and so the same DuckDB parity basis — as the graded distance
+    queries); emits ``(l_pid, r_pid, dist_m)`` for pairs within radius."""
 
     def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import probes
@@ -220,11 +219,74 @@ def distance_join_pairs(
             lo1 = (pdf["l_y"].to_numpy() / 180.0) * np.pi
             la2 = (pdf["r_x"].to_numpy() / 180.0) * np.pi
             lo2 = (pdf["r_y"].to_numpy() / 180.0) * np.pi
-            keep = probes.haversine_m(la1, lo1, la2, lo2) <= radius_m
-            out = pdf.loc[keep, ["l_pid", "r_pid"]]
-            if len(out):
+            d = probes.haversine_m(la1, lo1, la2, lo2)
+            keep = d <= radius_m
+            if keep.any():
+                out = pdf.loc[keep, ["l_pid", "r_pid"]].copy()
+                out["dist_m"] = d[keep]
                 yield out
 
     return cand.select("l_pid", "l_x", "l_y", "r_pid", "r_x", "r_y").mapInPandas(
-        refine, schema="l_pid long, r_pid long"
+        refine, schema="l_pid long, r_pid long, dist_m double"
+    )
+
+
+def distance_join_pairs(
+    points: DataFrame,
+    radius_m: float,
+    id_col: str = "pid",
+    lat_col: str = "x",
+    lon_col: str = "y",
+) -> DataFrame:
+    """All unordered point pairs within ``radius_m`` great-circle meters:
+    ``(l_pid, r_pid)`` with ``l_pid < r_pid``, each pair exactly once.
+
+    Self-join dedup: the blocked candidates meet each (l, r) exactly
+    once; ``l.pid < r.pid`` then keeps one orientation of the two
+    symmetric meetings.
+    """
+    base = _normalize(points, id_col, lat_col, lon_col)
+    cand = _blocked_candidates(base, base, radius_m).where(
+        F.col("l_pid") < F.col("r_pid")
+    )
+    return _refine_dist(cand, radius_m).select("l_pid", "r_pid")
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius_m: float,
+    id_col: str = "pid",
+    lat_col: str = "x",
+    lon_col: str = "y",
+) -> DataFrame:
+    """Radius-bounded kNN join: for each left point, the ``k`` nearest
+    right points within ``radius_m`` great-circle meters (``(l_pid,
+    r_pid)`` rows; fewer than k when the radius holds fewer neighbors).
+    A left pid that also appears on the right never matches itself.
+
+    The radius bound is what makes the join EXACT under blocking (an
+    unbounded kNN would need expanding re-probes for isolated points);
+    it is also what a production dedup/enrichment pass wants — a
+    neighbor beyond the radius is no neighbor.  The top-k runs as a
+    row_number window over (l_pid, dist): Spark 4 plans it as a
+    WindowGroupLimit (per-partition partial top-k BEFORE the shuffle),
+    and the window partition count per key is bounded by the points
+    within the radius — data density, not corpus-frequency skew.  Ties
+    break on (dist_m, r_pid), deterministic on both engines.
+    """
+    l = _normalize(left, id_col, lat_col, lon_col)
+    r = _normalize(right, id_col, lat_col, lon_col)
+    cand = _blocked_candidates(l, r, radius_m).where(
+        F.col("l_pid") != F.col("r_pid")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_pid").orderBy("dist_m", "r_pid")
+    return (
+        _refine_dist(cand, radius_m)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("l_pid", "r_pid")
     )

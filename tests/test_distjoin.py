@@ -11,7 +11,8 @@ over-generate candidates, never to drop a pair.
 import numpy as np
 import pytest
 
-from learnedspatial_spark.operators.distjoin import band_deg, distance_join_pairs
+from learnedspatial_spark.operators.distjoin import (
+    band_deg, distance_join_pairs, knn_join)
 from learnedspatial_spark.operators.probes import haversine_m
 
 
@@ -79,6 +80,53 @@ def test_seam_and_pole_pairs_survive_blocking(spark):
     for radius_m in (30_000.0, 200_000.0):
         got = {(r.l_pid, r.r_pid) for r in distance_join_pairs(df, radius_m).collect()}
         assert got == _brute_pairs(lat, lon, radius_m)
+
+
+def _brute_knn(lat_l, lon_l, pid_l, lat_r, lon_r, pid_r, k, radius_m):
+    la_l, lo_l = (lat_l / 180.0) * np.pi, (lon_l / 180.0) * np.pi
+    la_r, lo_r = (lat_r / 180.0) * np.pi, (lon_r / 180.0) * np.pi
+    out = set()
+    for i in range(len(pid_l)):
+        d = haversine_m(la_l[i], lo_l[i], la_r, lo_r)
+        m = (d <= radius_m) & (pid_r != pid_l[i])
+        idx = np.flatnonzero(m)
+        order = idx[np.lexsort((pid_r[idx], d[idx]))][:k]  # ties: (dist, pid)
+        out.update((int(pid_l[i]), int(pid_r[j])) for j in order)
+    return out
+
+
+@pytest.mark.parametrize("k,radius_m", [(3, 150_000.0), (5, 1_500_000.0)])
+def test_knn_join_matches_brute_force(spark, k, radius_m):
+    lat, lon = _corpus(13, 500)
+    pid = np.arange(500, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(pid[i]), float(lat[i]), float(lon[i])) for i in range(500)],
+        "pid long, x double, y double",
+    )
+    left = df.where("pid % 5 = 0")  # left table also present on the right
+    rows = knn_join(left, df, k, radius_m).collect()
+    got = [(r.l_pid, r.r_pid) for r in rows]
+    assert len(got) == len(set(got)), "duplicate kNN rows emitted"
+    sel = pid % 5 == 0
+    assert set(got) == _brute_knn(
+        lat[sel], lon[sel], pid[sel], lat, lon, pid, k, radius_m)
+
+
+def test_knn_join_two_distinct_tables(spark):
+    # left ids disjoint from right ids: no self-exclusion interplay
+    rng = np.random.default_rng(3)
+    lat_r = rng.uniform(-60, 60, 200); lon_r = rng.uniform(-179, 179, 200)
+    right = spark.createDataFrame(
+        [(int(1000 + j), float(lat_r[j]), float(lon_r[j])) for j in range(200)],
+        "pid long, x double, y double")
+    left = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, -45.0, 170.0)], "pid long, x double, y double")
+    k, r_m = 4, 3_000_000.0
+    got = {(r.l_pid, r.r_pid) for r in knn_join(left, right, k, r_m).collect()}
+    want = _brute_knn(np.array([10.0, -45.0]), np.array([20.0, 170.0]),
+                      np.array([1, 2]), lat_r, lon_r,
+                      np.arange(1000, 1200), k, r_m)
+    assert got == want
 
 
 def test_boundary_distance_exactly_radius_is_kept(spark):

@@ -70,10 +70,11 @@ def test_grading_window_matches_rotation_docstring():
     fails if a future edit silently reorders the window or drops a twin."""
     q = list(QUERIES)
     window = set(q[:50])
-    # 73 = the 72-entry r5 window set + the post-window distance join
-    # (position 73 — outside the graded window by design)
-    assert len(q) == len(set(q)) == 73
-    assert q[72] == "distance_join_pairs"
+    # 74 = the 72-entry r5 window set + the post-window distance join
+    # and radius-bounded kNN join (positions 73-74 — outside the graded
+    # window by design)
+    assert len(q) == len(set(q)) == 74
+    assert q[72:] == ["distance_join_pairs", "knn_join_radius"]
     must_be_in = {
         "events_late_drop_stream", "multimodal_frame_plan",  # new in r5
         "dup_stats", "bbox", "points_decimated", "scan_overhead_fixed_grid",

@@ -285,6 +285,20 @@ def main() -> None:
         "blocked-equi-join",
         "MapInPandas",
     ]))
+    # radius-bounded kNN join: same blocked candidates, then the per-left
+    # top-k must plan as WindowGroupLimit (partial per-partition top-k
+    # BEFORE the window shuffle — never a full sort of all candidates)
+    from learnedspatial_spark.operators.distjoin import knn_join
+    _pdf = _points_df(spark, sf)
+    p17 = plan_of(knn_join(_pdf.where(F.col("pid") % 10 == 0), _pdf, 3, 100000.0))
+    if (re.search(r"BroadcastNestedLoopJoin|CartesianProduct", p17) is None
+            and "WindowGroupLimit" in p17):
+        p17 += ("\n-- audit: partial-topk-window (WindowGroupLimit prunes "
+                "candidates before the per-left shuffle; no cross join)\n")
+    sections.append(("knn_join_radius (blocked kNN join, partial top-k)", p17, [
+        "partial-topk-window",
+        "MapInPandas",
+    ]))
 
     lines = ["# PLANS — physical plan audit (auto-generated by tools_plan_audit.py)",
              "", f"Input: {sf}.  Checked properties are asserted at generation time.", ""]
