@@ -47,6 +47,12 @@ O(n^2) NumPy oracle in tests/test_distjoin.py):
   cell ``n - 1`` (``n = floor(360 / w)``, cell index clamped), which
   makes every cell at least ``w`` wide — without the merge, a seam pair
   could land 2 cells apart across the narrow sliver.
+
+Input domain: latitudes must be geographic ([-90, 90] degrees);
+longitudes of ANY convention (0..360, unwrapped) are canonicalized into
+the key grid by the pmod in :func:`_cell_expr`, while the exact refine
+always evaluates the RAW coordinates (haversine is exactly periodic in
+longitude), so the wrap can never change a result — only route it.
 """
 
 from __future__ import annotations
@@ -105,7 +111,15 @@ def _n_expr(w: Column) -> Column:
 
 
 def _cell_expr(lon: Column, w: Column, n: Column) -> Column:
-    return F.least(F.floor((lon + 180.0) / w), (n - 1).cast("bigint")).cast("int")
+    # pmod canonicalizes any longitude convention (0..360, unwrapped
+    # accumulations) into [0, 360) for the KEY only — for inputs already
+    # in [-180, 180) the pmod is a bitwise identity (0 <= v < 360 returns
+    # v unchanged), and the refine always runs on the RAW coordinates
+    # (haversine is exactly periodic in longitude), so blocking stays
+    # conservative and the exact result never depends on the wrap.
+    return F.least(
+        F.floor(F.pmod(lon + 180.0, F.lit(360.0)) / w), (n - 1).cast("bigint")
+    ).cast("int")
 
 
 def _wn_cell(band: Column, lon: Column, radius_m: float) -> tuple[Column, Column]:
@@ -226,8 +240,12 @@ def _refine_dist(cand: DataFrame, radius_m: float) -> DataFrame:
                 out["dist_m"] = d[keep]
                 yield out
 
+    # the id columns pass through untouched, so the output schema carries
+    # whatever type the caller's id_col has (string/uuid ids work too)
+    lt = cand.schema["l_pid"].dataType.simpleString()
+    rt = cand.schema["r_pid"].dataType.simpleString()
     return cand.select("l_pid", "l_x", "l_y", "r_pid", "r_x", "r_y").mapInPandas(
-        refine, schema="l_pid long, r_pid long, dist_m double"
+        refine, schema=f"l_pid {lt}, r_pid {rt}, dist_m double"
     )
 
 
@@ -260,11 +278,19 @@ def knn_join(
     id_col: str = "pid",
     lat_col: str = "x",
     lon_col: str = "y",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Radius-bounded kNN join: for each left point, the ``k`` nearest
     right points within ``radius_m`` great-circle meters (``(l_pid,
     r_pid)`` rows; fewer than k when the radius holds fewer neighbors).
-    A left pid that also appears on the right never matches itself.
+
+    ``exclude_same_id`` (default True) drops candidates whose ids are
+    equal — the self-match filter for the self-join / shared-id-space
+    case (a left point that also exists on the right is not its own
+    neighbor).  Pass False when ``left`` and ``right`` carry INDEPENDENT
+    id spaces (two different tables that may reuse ids for different
+    physical points), or an id collision would silently drop a
+    legitimate cross-table neighbor.
 
     The radius bound is what makes the join EXACT under blocking (an
     unbounded kNN would need expanding re-probes for isolated points);
@@ -278,9 +304,9 @@ def knn_join(
     """
     l = _normalize(left, id_col, lat_col, lon_col)
     r = _normalize(right, id_col, lat_col, lon_col)
-    cand = _blocked_candidates(l, r, radius_m).where(
-        F.col("l_pid") != F.col("r_pid")
-    )
+    cand = _blocked_candidates(l, r, radius_m)
+    if exclude_same_id:
+        cand = cand.where(F.col("l_pid") != F.col("r_pid"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_pid").orderBy("dist_m", "r_pid")

@@ -129,6 +129,59 @@ def test_knn_join_two_distinct_tables(spark):
     assert got == want
 
 
+def test_knn_join_colliding_id_spaces_needs_optout(spark):
+    # two DIFFERENT tables that reuse the same id values for different
+    # physical points: exclude_same_id=False must keep the (5, 5) pair,
+    # the default must drop exactly the equal-id rows and nothing else.
+    left = spark.createDataFrame(
+        [(5, 10.0, 20.0)], "pid long, x double, y double")
+    right = spark.createDataFrame(
+        [(5, 10.0, 20.3), (6, 10.0, 20.1), (7, 10.0, 25.0)],
+        "pid long, x double, y double")
+    k, r_m = 2, 100_000.0
+    got = {(r.l_pid, r.r_pid)
+           for r in knn_join(left, right, k, r_m,
+                             exclude_same_id=False).collect()}
+    assert got == {(5, 6), (5, 5)}  # hotel "5" is a legitimate neighbor
+    got_default = {(r.l_pid, r.r_pid)
+                   for r in knn_join(left, right, k, r_m).collect()}
+    assert got_default == {(5, 6)}
+
+
+def test_string_id_columns_pass_through(spark):
+    # the refine schema derives from the caller's id type: string ids work
+    df = spark.createDataFrame(
+        [("a", 10.0, 20.0), ("b", 10.0, 20.2), ("c", -40.0, 100.0)],
+        "doc string, x double, y double")
+    got = {(r.l_pid, r.r_pid)
+           for r in distance_join_pairs(df, 50_000.0, id_col="doc").collect()}
+    assert got == {("a", "b")}
+    got_knn = {(r.l_pid, r.r_pid)
+               for r in knn_join(df, df, 1, 50_000.0, id_col="doc").collect()}
+    assert got_knn == {("a", "b"), ("b", "a")}
+
+
+def test_0_360_longitude_convention_pairs_survive_blocking(spark):
+    # climate/ocean convention: lon in [0, 360).  The pmod in _cell_expr
+    # must route seam-straddling pairs (359.9 vs 0.1) into adjacent key
+    # cells; the brute oracle uses the raw values (haversine is periodic).
+    rng = np.random.default_rng(21)
+    n = 300
+    lat = rng.uniform(-70.0, 70.0, n)
+    lon = np.concatenate([
+        rng.uniform(0.0, 360.0, n - 100),
+        359.0 + rng.uniform(0.0, 1.0, 50),   # east edge of the 0/360 seam
+        rng.uniform(0.0, 1.0, 50),           # west edge
+    ])
+    df = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(n)],
+        "pid long, x double, y double")
+    for radius_m in (100_000.0, 1_000_000.0):
+        got = {(r.l_pid, r.r_pid)
+               for r in distance_join_pairs(df, radius_m).collect()}
+        assert got == _brute_pairs(lat, lon, radius_m)
+
+
 def test_boundary_distance_exactly_radius_is_kept(spark):
     # a pair at exactly the band-height latitude separation (the
     # boundary the SAFETY inflation exists for)

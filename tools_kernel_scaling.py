@@ -53,7 +53,8 @@ ROWS = 8000  # per-cell occupancy of the scaling runs (partition_size)
 
 # ---------------------------------------------------------------- workers
 
-def _stream_worker(proc_id, n_procs, total_bytes, arr_bytes_total, barrier, q):
+def _stream_worker(proc_id, n_procs, total_bytes, arr_bytes_total,
+                   built, barrier, q):
     """Range-scan a private above-LLC array; fixed total bytes per level."""
     n = max(int(arr_bytes_total / n_procs / 8), 1_000_000)
     rng = np.random.default_rng(1000 + proc_id)
@@ -61,6 +62,7 @@ def _stream_worker(proc_id, n_procs, total_bytes, arr_bytes_total, barrier, q):
     reps = max(int(total_bytes / n_procs / (n * 8)), 1)
     lo, hi = 0.25, 0.75
     np.count_nonzero((a >= lo) & (a <= hi))  # touch temporaries' pages
+    built.wait()  # all builds done; main reads pt_open while we idle here
     barrier.wait()
     t0 = time.perf_counter()
     acc = 0
@@ -71,7 +73,7 @@ def _stream_worker(proc_id, n_procs, total_bytes, arr_bytes_total, barrier, q):
 
 
 def _kernel_worker(proc_id, n_procs, n_cells, queries_per_cell, rounds,
-                   barrier, q):
+                   built, barrier, q):
     """probes.range_count_cell over this worker's stride of cells.
 
     `rounds` full passes over the cells keep the level wall in seconds
@@ -93,6 +95,7 @@ def _kernel_worker(proc_id, n_procs, n_cells, queries_per_cell, rounds,
         cells.append((xs_s, ys_s, fx, fy, tx, ty))
     if cells:  # warm the kernel path (imports, allocator)
         probes.range_count_cell(*cells[0])
+    built.wait()  # all builds done; main reads pt_open while we idle here
     barrier.wait()
     t0 = time.perf_counter()
     acc = 0
@@ -109,21 +112,28 @@ def run_level(mode: str, n_procs: int, n_cells: int, queries_per_cell: int,
               stream_resident_gb: float) -> dict:
     """One timed level; returns wall + checksum + bracketing witnesses."""
     ctx = mp.get_context("fork")
+    built = ctx.Barrier(n_procs + 1)
     barrier = ctx.Barrier(n_procs + 1)
     q = ctx.Queue()
     if mode == "streaming":
         args = [(p, n_procs, stream_total_gb * 1e9,
-                 stream_resident_gb * 1e9, barrier, q) for p in range(n_procs)]
+                 stream_resident_gb * 1e9, built, barrier, q)
+                for p in range(n_procs)]
         target = _stream_worker
     else:
-        args = [(p, n_procs, n_cells, queries_per_cell, rounds, barrier, q)
-                for p in range(n_procs)]
+        args = [(p, n_procs, n_cells, queries_per_cell, rounds, built,
+                 barrier, q) for p in range(n_procs)]
         target = _kernel_worker
     procs = [ctx.Process(target=target, args=a) for a in args]
     for p in procs:
         p.start()
+    built.wait()  # every worker finished its untimed build phase
+    # the opening witness now runs with all workers idle at the second
+    # barrier, so it brackets exactly the timed block (a witness taken
+    # during the build phase reads depressed on a perfectly quiet host
+    # and would misclassify the run as struck)
     pt_open = bench.host_bandwidth_gbs()[1]
-    barrier.wait()  # all workers built and ready; timing starts now
+    barrier.wait()  # timing starts now
     out = [q.get() for _ in range(n_procs)]
     for p in procs:
         p.join()
