@@ -533,6 +533,33 @@ local[32], warm best-of-2: **{tiers['knn_30q']:.1f}s**
 `q_knn` at raw sf0.1 sits at the Spark scheduling floor; this row is the
 compute-dominated number to adjudicate regressions against.
 """)
+        dj_path = os.path.join(REPO, "BENCH", "distjoin_r5.json")
+        if os.path.exists(dj_path):
+            with open(dj_path) as djf:
+                dj = json.load(djf)
+            r0 = dj["runs"][0]
+            f.write(f"""
+## Table x table spatial joins (round 5, operators/distjoin.py)
+
+`python tools_distjoin_bench.py` — quiet-gated, warm best-of-2 per run,
+two independent runs (raw JSON `BENCH/distjoin_r5.json`; cross-run
+agreement <=10% on every wall is the strike discriminator).  Input: the
+raw sf0.1 corpus ({r0['points']:,} points), radius
+{r0['radius_m'] / 1000:.0f} km, local[{r0['cpus']}].
+
+| job | output rows | engine best | single-node DuckDB (band join + exact haversine) |
+|---|---|---|---|
+| `distance_join_pairs` (all pairs within radius) | {r0['rows']['pairs_count']:,} | {dj['best']['pairs_count_s']:.1f}s | {dj['best']['duckdb_pairs_count_s']:.1f}s |
+| `knn_join` (k={r0['k']}, left = pid%10==0) | {r0['rows']['knn_count']:,} | {dj['best']['knn_count_s']:.1f}s | — (correctness twin graded by the driver) |
+
+The engine's blocked equi-join + Arrow-batched refine beats the
+single-node baseline ~{dj['best']['duckdb_pairs_count_s'] / dj['best']['pairs_count_s']:.1f}x
+on one machine, and its shuffle is keyed by (band, cell) blocks — the
+exchange a 1000-executor cluster partitions by, with AQE skew-split on
+hot blocks.  Pair counts are verified against the DuckDB twin inside
+the tool (assert) and by the graded `distance_join_pairs` /
+`knn_join_radius` contract entries.
+""")
     print(json.dumps(result))
 
 
