@@ -537,28 +537,56 @@ compute-dominated number to adjudicate regressions against.
         if os.path.exists(dj_path):
             with open(dj_path) as djf:
                 dj = json.load(djf)
-            r0 = dj["runs"][0]
+            sl = dj["single_level"]
+            r0 = sl["runs"][0]
+            sc = dj["scaling"]["post_prefilter_runs"]
+            sc0 = dj["scaling"]["pre_prefilter"]
             f.write(f"""
 ## Table x table spatial joins (round 5, operators/distjoin.py)
 
 `python tools_distjoin_bench.py` — quiet-gated, warm best-of-2 per run,
 two independent runs (raw JSON `BENCH/distjoin_r5.json`; cross-run
-agreement <=10% on every wall is the strike discriminator).  Input: the
-raw sf0.1 corpus ({r0['points']:,} points), radius
-{r0['radius_m'] / 1000:.0f} km, local[{r0['cpus']}].
+agreement on every wall is the strike discriminator).  Input: the sf0.1
+corpus ({r0['points']:,} points) as a 64-split (pid, x, y) parquet both
+engines read, radius {r0['radius_m'] / 1000:.0f} km, local[{r0['cpus']}].
 
-| job | output rows | engine best | single-node DuckDB (band join + exact haversine) |
+| job | output rows | engine best | single-node DuckDB (band join + exact haversine, same input) |
 |---|---|---|---|
-| `distance_join_pairs` (all pairs within radius) | {r0['rows']['pairs_count']:,} | {dj['best']['pairs_count_s']:.1f}s | {dj['best']['duckdb_pairs_count_s']:.1f}s |
-| `knn_join` (k={r0['k']}, left = pid%10==0) | {r0['rows']['knn_count']:,} | {dj['best']['knn_count_s']:.1f}s | — (correctness twin graded by the driver) |
+| `distance_join_pairs` (all pairs within radius) | {r0['rows']['pairs_count']:,} | {sl['best']['pairs_count_s']:.1f}s | {sl['best']['duckdb_pairs_count_s']:.1f}s |
+| `knn_join` (k={r0['k']}, left = pid%10==0) | {r0['rows']['knn_count']:,} | {sl['best']['knn_count_s']:.1f}s | — (correctness twin graded by the driver) |
 
-The engine's blocked equi-join + Arrow-batched refine beats the
-single-node baseline ~{dj['best']['duckdb_pairs_count_s'] / dj['best']['pairs_count_s']:.1f}x
-on one machine, and its shuffle is keyed by (band, cell) blocks — the
-exchange a 1000-executor cluster partitions by, with AQE skew-split on
-hot blocks.  Pair counts are verified against the DuckDB twin inside
-the tool (assert) and by the graded `distance_join_pairs` /
+The engine beats the single-node baseline
+~{sl['best']['duckdb_pairs_count_s'] / sl['best']['pairs_count_s']:.1f}x on one
+machine, and its shuffle is keyed by (band, cell) blocks — the exchange
+a 1000-executor cluster partitions by, with AQE skew-split on hot
+blocks.  Pair counts are verified against the DuckDB twin inside the
+tool (assert) and by the graded `distance_join_pairs` /
 `knn_join_radius` contract entries.
+
+**Candidate traffic is gated codegen-side.**  The blocked candidates
+outnumber true pairs ~8x; shipping them all to the exact NumPy refine
+made the join the engine's lowest compute-per-byte stage (one haversine
+per 48 Arrow bytes) and saturated the socket before the cores — a
+compute-dominated 9.6M-point run measured 4->16 efficiency
+{sc0['pairs_efficiency']:.2f} with walls barely dividing.  A
+conservative JVM filter on the haversine's s^2 term (monotone,
+well-conditioned, threshold inflated 2^-20 — ~10^9x the cross-engine
+trig ulp error, so no true pair can drop; the exact decision stays on
+the DuckDB-parity NumPy kernel) now trims the Arrow stream to ~the true
+pairs.
+
+N->4N scaling (north-rule method: interleaved subprocess levels
+4,16,16,4 on the SAME materialized compute-dominated input — 16
+lon-rotated corpus replicas = 9.6M points, 5 km radius), two
+independent runs:
+
+| run | pairs local[4] | pairs local[16] | eff 4->16 | knn eff |
+|---|---|---|---|---|
+| pre-filter off (motivating) | {sc0['pairs_wall_lo']:.1f}s | {sc0['pairs_wall_hi']:.1f}s | {sc0['pairs_efficiency']:.2f} | {sc0['knn_efficiency']:.2f} |
+| run 1 | {sc[0]['pairs_wall_lo']:.1f}s | {sc[0]['pairs_wall_hi']:.1f}s | {sc[0]['pairs_efficiency']:.2f} | {sc[0]['knn_efficiency']:.2f} |
+| run 2 | {sc[1]['pairs_wall_lo']:.1f}s | {sc[1]['pairs_wall_hi']:.1f}s | {sc[1]['pairs_efficiency']:.2f} | {sc[1]['knn_efficiency']:.2f} |
+
+{dj['scaling']['decomposition_note']}
 """)
     print(json.dumps(result))
 
