@@ -585,7 +585,12 @@ independent runs:
 | pre-filter off (motivating) | {sc0['pairs_wall_lo']:.1f}s | {sc0['pairs_wall_hi']:.1f}s | {sc0['pairs_efficiency']:.2f} | {sc0['knn_efficiency']:.2f} |
 | run 1 | {sc[0]['pairs_wall_lo']:.1f}s | {sc[0]['pairs_wall_hi']:.1f}s | {sc[0]['pairs_efficiency']:.2f} | {sc[0]['knn_efficiency']:.2f} |
 | run 2 | {sc[1]['pairs_wall_lo']:.1f}s | {sc[1]['pairs_wall_hi']:.1f}s | {sc[1]['pairs_efficiency']:.2f} | {sc[1]['knn_efficiency']:.2f} |
-
+""")
+            big = dj["scaling"].get("knn_large_left_run")
+            if big:
+                f.write(f"""| kNN at 5x left (left=n/2) | — | — | — | {big['knn_efficiency']:.2f} (walls {big['knn_wall_lo']:.1f}s / {big['knn_wall_hi']:.1f}s) |
+""")
+            f.write(f"""
 {dj['scaling']['decomposition_note']}
 """)
     print(json.dumps(result))

@@ -106,6 +106,11 @@ def main() -> None:
                     help="longitude-rotated corpus replicas (scale the "
                          "work compute-dominated; shrink --radius-m to "
                          "keep the pair count bounded)")
+    ap.add_argument("--left-mod", type=int, default=10,
+                    help="kNN left side = pid %% left_mod == 0 (smaller "
+                         "= bigger left side = more kNN compute)")
+    ap.add_argument("--jobs", default="",
+                    help="comma filter: pairs_count,knn_count")
     args = ap.parse_args()
 
     if args.scaling:
@@ -118,6 +123,8 @@ def main() -> None:
                  "--radius-m", str(args.radius_m), "--k", str(args.k),
                  "--repeats", str(args.repeats), "--skip-duckdb",
                  "--replicate", str(args.replicate),
+                 "--left-mod", str(args.left_mod),
+                 "--jobs", args.jobs,
                  "--max-wait-s", str(args.max_wait_s)],
                 capture_output=True, text=True, timeout=3600)
             line = [ln for ln in out.stdout.splitlines()
@@ -125,19 +132,19 @@ def main() -> None:
             runs.append(json.loads(line))
         assert len({json.dumps(r["rows"], sort_keys=True)
                     for r in runs}) == 1, "row counts differ across levels"
-        best = {c: min(r["best"]["pairs_count"] for r in runs
-                       if r["cpus"] == c) for c in (args.lo, args.hi)}
-        knn_best = {c: min(r["best"]["knn_count"] for r in runs
-                           if r["cpus"] == c) for c in (args.lo, args.hi)}
-        eff = (best[args.lo] / best[args.hi]) / (args.hi / args.lo)
-        keff = (knn_best[args.lo] / knn_best[args.hi]) / (args.hi / args.lo)
-        print(json.dumps({
-            "mode": "scaling", "lo": args.lo, "hi": args.hi,
-            "pairs_wall_lo": best[args.lo], "pairs_wall_hi": best[args.hi],
-            "pairs_efficiency": round(eff, 3),
-            "knn_wall_lo": knn_best[args.lo], "knn_wall_hi": knn_best[args.hi],
-            "knn_efficiency": round(keff, 3),
-            "runs": runs}))
+        out = {"mode": "scaling", "lo": args.lo, "hi": args.hi,
+               "left_mod": args.left_mod}
+        for job, tag in (("pairs_count", "pairs"), ("knn_count", "knn")):
+            if job not in runs[0]["best"]:
+                continue
+            best = {c: min(r["best"][job] for r in runs if r["cpus"] == c)
+                    for c in (args.lo, args.hi)}
+            out[f"{tag}_wall_lo"] = best[args.lo]
+            out[f"{tag}_wall_hi"] = best[args.hi]
+            out[f"{tag}_efficiency"] = round(
+                (best[args.lo] / best[args.hi]) / (args.hi / args.lo), 3)
+        out["runs"] = runs
+        print(json.dumps(out))
         return
 
     from learnedspatial_spark.operators.distjoin import (
@@ -155,10 +162,15 @@ def main() -> None:
         "pairs_count": lambda: distance_join_pairs(
             pts, args.radius_m).count(),
         "knn_count": lambda: knn_join(
-            pts.where("pid % 10 = 0"), pts, args.k, args.radius_m).count(),
+            pts.where(f"pid % {args.left_mod} = 0"), pts,
+            args.k, args.radius_m).count(),
     }
+    if args.jobs:
+        keep = set(args.jobs.split(","))
+        jobs = {k: v for k, v in jobs.items() if k in keep}
     res = {"sf_dir": args.sf_dir, "cpus": args.cpus, "points": n,
            "radius_m": args.radius_m, "k": args.k,
+           "left_mod": args.left_mod,
            "replicate": args.replicate, "input_splits": INPUT_SPLITS,
            "gate_quiet": quiet, "gate_pagetouch": pt_gate,
            "gate_waited_s": waited}
