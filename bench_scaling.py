@@ -541,6 +541,10 @@ compute-dominated number to adjudicate regressions against.
             r0 = sl["runs"][0]
             sc = dj["scaling"]["post_prefilter_runs"]
             sc0 = dj["scaling"]["pre_prefilter"]
+            scr = dj["scaling"].get("config", {})
+            sc_cfg = (f"{scr.get('replicate', '?')} lon-rotated corpus "
+                      f"replicas = {scr.get('points', 0):,} points, "
+                      f"{scr.get('radius_m', 0) / 1000:.0f} km radius")
             f.write(f"""
 ## Table x table spatial joins (round 5, operators/distjoin.py)
 
@@ -576,16 +580,18 @@ the DuckDB-parity NumPy kernel) now trims the Arrow stream to ~the true
 pairs.
 
 N->4N scaling (north-rule method: interleaved subprocess levels
-4,16,16,4 on the SAME materialized compute-dominated input — 16
-lon-rotated corpus replicas = 9.6M points, 5 km radius), two
-independent runs:
+4,16,16,4 on the SAME materialized compute-dominated input —
+{sc_cfg}), {len(sc)} independent run(s):
 
 | run | pairs local[4] | pairs local[16] | eff 4->16 | knn eff |
 |---|---|---|---|---|
 | pre-filter off (motivating) | {sc0['pairs_wall_lo']:.1f}s | {sc0['pairs_wall_hi']:.1f}s | {sc0['pairs_efficiency']:.2f} | {sc0['knn_efficiency']:.2f} |
-| run 1 | {sc[0]['pairs_wall_lo']:.1f}s | {sc[0]['pairs_wall_hi']:.1f}s | {sc[0]['pairs_efficiency']:.2f} | {sc[0]['knn_efficiency']:.2f} |
-| run 2 | {sc[1]['pairs_wall_lo']:.1f}s | {sc[1]['pairs_wall_hi']:.1f}s | {sc[1]['pairs_efficiency']:.2f} | {sc[1]['knn_efficiency']:.2f} |
 """)
+            for i, s in enumerate(sc):
+                f.write(f"| run {i + 1} | {s['pairs_wall_lo']:.1f}s "
+                        f"| {s['pairs_wall_hi']:.1f}s "
+                        f"| {s['pairs_efficiency']:.2f} "
+                        f"| {s['knn_efficiency']:.2f} |\n")
             big = dj["scaling"].get("knn_large_left_run")
             if big:
                 f.write(f"""| kNN at 5x left (left=n/2) | — | — | — | {big['knn_efficiency']:.2f} (walls {big['knn_wall_lo']:.1f}s / {big['knn_wall_hi']:.1f}s) |

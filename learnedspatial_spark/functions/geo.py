@@ -81,12 +81,21 @@ def circle_bbox_radians_np(latr, lonr, radius_m):
 
 # ------------------------------------------------------- Spark Columns ---
 
+def haversine_s2_col(lat1r: Column, lon1r: Column, lat2r: Column, lon2r: Column) -> Column:
+    """The haversine's s^2 term (sin^2(dlat/2) + cos*cos*sin^2(dlon/2))
+    as a pure Column expression — monotone in great-circle distance and
+    well-conditioned (no asin amplification near the antipode), which is
+    what conservative distance GATES should compare on (see
+    operators/distjoin._prefilter_expr)."""
+    u = F.sin((lat2r - lat1r) / F.lit(2.0))
+    v = F.sin((lon2r - lon1r) / F.lit(2.0))
+    return u * u + F.cos(lat1r) * F.cos(lat2r) * (v * v)
+
+
 def haversine_m_col(lat1r: Column, lon1r: Column, lat2r: Column, lon2r: Column) -> Column:
     """Haversine meters as a pure Column expression (whole-stage codegen;
     stays JVM-side — preferred over any UDF in the hot path)."""
-    u = F.sin((lat2r - lat1r) / F.lit(2.0))
-    v = F.sin((lon2r - lon1r) / F.lit(2.0))
-    s = F.sqrt(u * u + F.cos(lat1r) * F.cos(lat2r) * v * v)
+    s = F.sqrt(haversine_s2_col(lat1r, lon1r, lat2r, lon2r))
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(s, F.lit(1.0)))
 
 

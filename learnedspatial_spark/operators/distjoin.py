@@ -244,13 +244,11 @@ def _prefilter_expr(radius_m: float) -> Column:
     can exceed its NumPy value only by ulp-scale error, ~10^9x smaller
     than the slack, so no true pair is ever dropped.  Radii >= pi*R
     degenerate to keep-everything (the min() clamp)."""
-    la1 = F.col("l_x") / 180.0 * math.pi
-    lo1 = F.col("l_y") / 180.0 * math.pi
-    la2 = F.col("r_x") / 180.0 * math.pi
-    lo2 = F.col("r_y") / 180.0 * math.pi
-    u = F.sin((la2 - la1) / 2.0)
-    v = F.sin((lo2 - lo1) / 2.0)
-    s2 = u * u + F.cos(la1) * F.cos(la2) * (v * v)
+    from ..functions.geo import haversine_s2_col
+
+    s2 = haversine_s2_col(
+        F.col("l_x") / 180.0 * math.pi, F.col("l_y") / 180.0 * math.pi,
+        F.col("r_x") / 180.0 * math.pi, F.col("r_y") / 180.0 * math.pi)
     sinr = math.sin(min(radius_m / (2.0 * EARTH_RADIUS_M), math.pi / 2.0))
     return s2 <= F.lit((sinr * PREFILTER_SLACK) ** 2)
 

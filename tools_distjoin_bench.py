@@ -50,8 +50,12 @@ def prepare_input(sf_dir: str, replicate: int = 1) -> str:
     degrees (pid -> pid*R + rep stays unique) — deterministic, keeps
     the latitude distribution, and both parallelism levels read the
     SAME materialized input."""
+    import hashlib
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out = os.path.join("/tmp", "learnedspatial_distjoin_input",
                        os.path.basename(os.path.normpath(sf_dir))
+                       + f"_{key}"  # full-path key: same-dirname corpora
+                                    # must not share a materialization
                        + (f"_x{replicate}" if replicate > 1 else ""))
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         from pyspark.sql import functions as F
@@ -126,10 +130,19 @@ def main() -> None:
                  "--left-mod", str(args.left_mod),
                  "--jobs", args.jobs,
                  "--max-wait-s", str(args.max_wait_s)],
-                capture_output=True, text=True, timeout=3600)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            runs.append(json.loads(line))
+                capture_output=True, text=True,
+                # a child may legitimately sit max_wait_s in the quiet
+                # gate (plus prepare_input on the first level) before
+                # its own run even starts
+                timeout=args.max_wait_s + 3600)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling child cpus={cpus} failed "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    f"{out.stderr[-2000:]}")
+            runs.append(json.loads(lines[-1]))
         assert len({json.dumps(r["rows"], sort_keys=True)
                     for r in runs}) == 1, "row counts differ across levels"
         out = {"mode": "scaling", "lo": args.lo, "hi": args.hi,
@@ -194,14 +207,14 @@ def main() -> None:
                walls=walls, best={k: min(v) for k, v in walls.items()})
     spark.stop()
 
-    if not args.skip_duckdb:
+    if not args.skip_duckdb and "pairs_count" in counts:
         # single-node baseline: DuckDB's IEJoin on the latitude band
         # predicate + exact haversine — the same algorithmic shape as
         # the oracle twin, on all available cores
         import duckdb
 
         from learnedspatial_spark.operators.distjoin import band_deg
-        from learnedspatial_spark.entrylib import haversine_m_sql
+        from learnedspatial_spark.functions.geo import haversine_m_sql
         from learnedspatial_spark.sqlcompat import flit
 
         bd = flit(band_deg(args.radius_m))
